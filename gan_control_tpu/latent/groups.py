@@ -1,0 +1,277 @@
+"""Latent partitioning + disentanglement batch arrangement (L3).
+
+The disentanglement engine of GAN-Control: the 512-d latent is split into
+contiguous per-attribute sub-vectors, and each training mini-batch is
+arranged so specific *pairs of rows share* one attribute's sub-latent
+(behavior contract: utils/mini_batch_multi_split_utils.py:19-115 in the
+reference).
+
+TPU-first design: instead of in-place tensor writes inside a Python loop,
+the arrangement is a single functional gather built from a static group
+table — `z_out = where(mask, z[pair_src_row], z)` — fully jittable with
+static shapes. The table (`GroupSpec`) is a frozen, hashable dataclass, so
+it can be a static argument of a jitted train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentGroup:
+    """One attribute sub-space.
+
+    latent_[start,end) — slice of the 512-d latent owned by this attribute
+      (reference: sub_groups_dict[*]['place_in_latent'], configs/ffhq.json:35-71).
+    mb_[start,end) — rows of the mini-batch whose consecutive even/odd pairs
+      share this group's sub-latent (place_in_mini_batch). None = group never
+      gets shared pairs (evaluation-only groups).
+    count_range — (min, max) slots for the randomized arrangement mode
+      (count_in_mini_bach in the reference config).
+    """
+
+    name: str
+    latent_start: int
+    latent_end: int
+    mb_start: int | None = None
+    mb_end: int | None = None
+    count_range: tuple[int, int] | None = None
+
+    @property
+    def latent_size(self) -> int:
+        return self.latent_end - self.latent_start
+
+    @property
+    def latent_slice(self) -> slice:
+        return slice(self.latent_start, self.latent_end)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupSpec:
+    """Ordered (by latent offset) immutable table of latent groups.
+
+    Mirrors MiniBatchUtils + FcConfig in one object (reference:
+    mini_batch_multi_split_utils.py:13-17, 19-54, 103-115).
+    """
+
+    groups: tuple[LatentGroup, ...]
+    mini_batch: int
+    style_dim: int = 512
+
+    def __post_init__(self):
+        latent_total = sum(g.latent_size for g in self.groups)
+        if latent_total != self.style_dim:
+            raise ValueError(
+                f"latent sizes sum to {latent_total}, expected {self.style_dim}"
+            )
+        mb_total = sum(
+            g.mb_end - g.mb_start for g in self.groups if g.mb_start is not None
+        )
+        if mb_total and mb_total != self.mini_batch:
+            raise ValueError(
+                f"mini-batch slots sum to {mb_total}, expected {self.mini_batch}"
+            )
+        starts = [g.latent_start for g in self.groups]
+        if starts != sorted(starts):
+            raise ValueError("groups must be ordered by latent_start")
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_config(
+        cls, sub_groups_dict: Mapping[str, Mapping], mini_batch: int, style_dim: int = 512
+    ) -> "GroupSpec":
+        """Build from the JSON `sub_groups_dict` schema (configs/ffhq.json:35-71)."""
+        groups = []
+        for name, g in sub_groups_dict.items():
+            pim = g.get("place_in_mini_batch")
+            cnt = g.get("count_in_mini_bach") or g.get("count_in_mini_batch")
+            groups.append(
+                LatentGroup(
+                    name=name,
+                    latent_start=g["place_in_latent"][0],
+                    latent_end=g["place_in_latent"][1],
+                    mb_start=None if pim is None else pim[0],
+                    mb_end=None if pim is None else pim[1],
+                    count_range=None if cnt is None else (cnt[0], cnt[1]),
+                )
+            )
+        groups.sort(key=lambda g: g.latent_start)
+        return cls(groups=tuple(groups), mini_batch=mini_batch, style_dim=style_dim)
+
+    # -- lookups -------------------------------------------------------------
+
+    @property
+    def names(self) -> tuple[str, ...]:
+        return tuple(g.name for g in self.groups)
+
+    def group(self, name: str) -> LatentGroup:
+        for g in self.groups:
+            if g.name == name:
+                return g
+        raise KeyError(name)
+
+    def fc_dims(self) -> tuple[tuple[str, int], ...]:
+        """(name, latent_size) pairs feeding the split mapping network."""
+        return tuple((g.name, g.latent_size) for g in self.groups)
+
+    # -- static arrangement tables -------------------------------------------
+
+    def pair_source_rows(self) -> np.ndarray:
+        """row -> source row for the share-copy. Odd rows inside a group's
+        mini-batch slots point at the preceding even row; all others at
+        themselves."""
+        src = np.arange(self.mini_batch)
+        for g in self.groups:
+            if g.mb_start is None:
+                continue
+            for i in range(g.mb_start, g.mb_end, 2):
+                if i + 1 < g.mb_end:
+                    src[i + 1] = i
+        return src
+
+    def share_mask(self) -> np.ndarray:
+        """[mini_batch, style_dim] bool: positions overwritten from the pair
+        source row (odd row of a group pair, that group's latent columns)."""
+        mask = np.zeros((self.mini_batch, self.style_dim), dtype=bool)
+        for g in self.groups:
+            if g.mb_start is None:
+                continue
+            for i in range(g.mb_start, g.mb_end, 2):
+                if i + 1 < g.mb_end:
+                    mask[i + 1, g.latent_start : g.latent_end] = True
+        return mask
+
+
+# ---------------------------------------------------------------------------
+# Functional arrangement ops (pure; GroupSpec static)
+# ---------------------------------------------------------------------------
+
+
+def re_arrange_z(spec: GroupSpec, z_list: Sequence[jax.Array]) -> list[jax.Array]:
+    """Arrange a mini-batch of latents so even/odd pairs inside each group's
+    slot range share that group's sub-latent.
+
+    Behavior contract: MiniBatchUtils.re_arrange_z
+    (mini_batch_multi_split_utils.py:64-78): copy each group's latent slice
+    from even row -> following odd row; with style mixing (len>1) the second
+    z equals the first everywhere except inside the 'other' group's
+    mini-batch slots.
+    """
+    z0 = z_list[0]
+    src = jnp.asarray(spec.pair_source_rows())
+    mask = jnp.asarray(spec.share_mask())
+    z0 = jnp.where(mask, z0[src], z0)
+
+    out = [z0]
+    if len(z_list) > 1:
+        other = next((g for g in spec.groups if g.name == "other"), None)
+        for zi in z_list[1:]:
+            if other is not None and other.mb_start is not None:
+                rows = jnp.arange(z0.shape[0])
+                keep_second = (rows >= other.mb_start) & (rows < other.mb_end)
+                out.append(jnp.where(keep_second[:, None], zi, z0))
+            else:
+                out.append(z0)
+    return out
+
+
+def re_arrange_inject_noise(
+    spec: GroupSpec, noises: Sequence[jax.Array], group_name: str = "id"
+) -> list[jax.Array]:
+    """Copy per-layer injection noise from even -> odd rows inside one
+    group's slots ('same_for_same_id' noise mode; reference
+    mini_batch_multi_split_utils.py:97-101). Noise layout: [B, H, W, 1]."""
+    g = spec.group(group_name)
+    src = np.arange(spec.mini_batch)
+    for i in range(g.mb_start, g.mb_end, 2):
+        if i + 1 < g.mb_end:
+            src[i + 1] = i
+    src = jnp.asarray(src)
+    return [n[src] for n in noises]
+
+
+def same_not_same_split(
+    spec: GroupSpec, features: jax.Array, group_name: str
+) -> tuple[jax.Array, jax.Array]:
+    """Split a [mini_batch, ...] tensor into the rows belonging to a group's
+    slots (same) and all other rows (not_same), preserving order.
+
+    Contract: get_sub_group / get_not_sub_group + extract_same_not_same
+    (mini_batch_multi_split_utils.py:56-62, 80-86). Static slicing - shapes
+    are fixed by the spec.
+    """
+    g = spec.group(group_name)
+    same = features[g.mb_start : g.mb_end]
+    not_same = jnp.concatenate([features[: g.mb_start], features[g.mb_end :]], axis=0)
+    return same, not_same
+
+
+def extract_group_latent(spec: GroupSpec, latent: jax.Array, group_name: str) -> jax.Array:
+    """Slice one group's sub-latent out of w ([B,512]) or w+ ([B,L,512])."""
+    g = spec.group(group_name)
+    return latent[..., g.latent_start : g.latent_end]
+
+
+def insert_group_latent(
+    spec: GroupSpec, latent: jax.Array, group_latent: jax.Array, group_name: str
+) -> jax.Array:
+    """Replace one group's sub-latent inside w ([B,512]) or w+ ([B,L,512]).
+
+    Contract: Controller.insert_group_w_latent (inference/controller.py:60-71).
+    For w+, the same group value is broadcast to every layer.
+    """
+    g = spec.group(group_name)
+    if latent.ndim == 3 and group_latent.ndim == 2:
+        group_latent = group_latent[:, None, :]
+    return latent.at[..., g.latent_start : g.latent_end].set(
+        jnp.broadcast_to(group_latent, latent[..., g.latent_start : g.latent_end].shape)
+    )
+
+
+def randomized_spec(
+    spec: GroupSpec, rng: np.random.Generator
+) -> GroupSpec:
+    """Draw a new random slot placement for every group (host-side, per step).
+
+    Behavior contract: RandomMiniBatchUtils.randomize_places_in_batch
+    (mini_batch_random_multi_split_utils.py:45-68): each group gets an even
+    number of slots within its count_range, consuming the whole mini-batch.
+    Because the result is a static GroupSpec, feeding it into a jitted step
+    triggers at most a few recompiles (placements are quantized); for a
+    recompile-free variant feed `pair_source_rows`/`share_mask` as arrays.
+    """
+    n = len(spec.groups)
+    counts = []
+    remaining = spec.mini_batch
+    for i, g in enumerate(spec.groups):
+        lo, hi = g.count_range if g.count_range else (0, spec.mini_batch)
+        lo = max(lo, 0)
+        if i == n - 1:
+            c = remaining
+        else:
+            min_rest = sum(
+                (gg.count_range[0] if gg.count_range else 0) for gg in spec.groups[i + 1 :]
+            )
+            hi_eff = min(hi, remaining - min_rest)
+            lo_eff = min(lo, hi_eff)
+            c = int(rng.integers(lo_eff // 2, hi_eff // 2 + 1)) * 2
+        if c < 0 or c > remaining:
+            c = remaining
+        counts.append(c)
+        remaining -= c
+    order = rng.permutation(n)
+    new_groups = list(spec.groups)
+    cursor = 0
+    for idx in order:
+        g = spec.groups[idx]
+        c = counts[idx]
+        new_groups[idx] = dataclasses.replace(g, mb_start=cursor, mb_end=cursor + c)
+        cursor += c
+    return dataclasses.replace(spec, groups=tuple(new_groups))

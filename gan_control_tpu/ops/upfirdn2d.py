@@ -1,0 +1,183 @@
+"""upfirdn2d — upsample, pad, FIR filter, downsample. NHWC, TPU-first.
+
+Semantics contract (reference: models/pytorch_upfirdn2d.py:9-50, wrapped at
+models/gan_model.py:45-50):
+
+    1. zero-stuff each pixel with (up-1) trailing zeros along H and W
+       (output length ``in * up``)
+    2. zero-pad by (pad0, pad1) per axis; negative pads crop
+    3. convolve (true convolution, i.e. correlate with the flipped kernel)
+       with a 2-D FIR filter, "valid"
+    4. keep every ``down``-th sample starting at 0
+
+Instead of translating those five tensor reshapes, the whole pipeline is
+expressed as ONE ``lax.conv_general_dilated``:
+
+    - ``lhs_dilation=(up, up)`` performs the zero-stuffing inside the conv
+      (XLA inserts no actual zeros in memory),
+    - conv padding carries pad0/pad1 — XLA supports *negative* padding, so
+      the crop case needs no separate slice,
+    - ``window_strides=(down, down)`` performs the decimation,
+    - the kernel is pre-flipped so XLA's correlation computes a convolution.
+
+One subtlety: lhs_dilation produces length ``(in-1)*up + 1`` (no trailing
+zeros after the last sample) while the reference zero-stuffing produces
+``in*up``; the difference of ``up-1`` trailing zeros is folded into the
+high-side padding.
+
+The filter is applied depthwise (same 2-D kernel for every channel) via
+``feature_group_count=C``. XLA lowers this to a TPU convolution; for the
+small 4-tap binomial kernels used by StyleGAN2 the op is HBM-bandwidth bound
+and fuses with neighbors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def make_kernel(k) -> jnp.ndarray:
+    """Normalized 2-D FIR kernel from a 1-D or 2-D tap list.
+
+    Reference behavior: models/gan_model.py:60-68 (outer product of 1-D taps,
+    normalized to sum 1).
+    """
+    k = jnp.asarray(k, dtype=jnp.float32)
+    if k.ndim == 1:
+        k = k[None, :] * k[:, None]
+    return k / jnp.sum(k)
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down", "pad"))
+def upfirdn2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    up: int = 1,
+    down: int = 1,
+    pad: tuple[int, int] = (0, 0),
+) -> jax.Array:
+    """Upsample-FIR-downsample on an NHWC tensor.
+
+    Args:
+      x: [N, H, W, C] input.
+      kernel: [kh, kw] FIR filter (not flipped; true convolution applied).
+      up / down: integer resampling factors (same for H and W, matching the
+        reference wrapper at models/gan_model.py:45-50).
+      pad: (pad0, pad1) applied to both H and W; may be negative.
+
+    Returns:
+      [N, H_out, W_out, C] with
+      ``H_out = (H*up + pad0 + pad1 - kh) // down + 1``.
+    """
+    return _upfirdn2d_xla(x, kernel, (up, up), (down, down), (pad[0], pad[1], pad[0], pad[1]))
+
+
+def upfirdn2d_native(
+    x: jax.Array,
+    kernel: jax.Array,
+    up: tuple[int, int],
+    down: tuple[int, int],
+    pad: tuple[int, int, int, int],
+) -> jax.Array:
+    """Full-signature upfirdn (separate x/y factors, 4-way padding).
+
+    ``pad`` is (pad_x0, pad_x1, pad_y0, pad_y1) to match the reference
+    signature (models/pytorch_upfirdn2d.py:9).
+    """
+    return _upfirdn2d_xla(x, kernel, (up[0], up[1]), (down[0], down[1]), pad)
+
+
+def _upfirdn2d_xla(x, kernel, up_xy, down_xy, pad_xyxy):
+    up_x, up_y = up_xy
+    down_x, down_y = down_xy
+    pad_x0, pad_x1, pad_y0, pad_y1 = pad_xyxy
+
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+
+    # True convolution == correlation with the flipped kernel.
+    k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
+    # Depthwise: one [kh, kw, 1, 1] filter shared across C groups.
+    k = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO with I=1, O=C
+
+    # lhs_dilation yields (h-1)*up+1 samples; the reference zero-stuffing
+    # yields h*up. Add the missing (up-1) trailing zeros to the high pad.
+    pad_h = (pad_y0, pad_y1 + up_y - 1)
+    pad_w = (pad_x0, pad_x1 + up_x - 1)
+
+    compute_dtype = x.dtype
+    out = lax.conv_general_dilated(
+        x,
+        k.astype(compute_dtype),
+        window_strides=(down_y, down_x),
+        padding=(pad_h, pad_w),
+        lhs_dilation=(up_y, up_x),
+        rhs_dilation=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FIR wrappers (reference: models/gan_model.py:71-129). Pure functions; the
+# pad arithmetic is a static property of (kernel length, factor), so it is
+# computed in Python at trace time.
+# ---------------------------------------------------------------------------
+
+
+def upsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
+    """FIR 2x upsampling: gain-compensated kernel, up=factor.
+
+    Reference behavior: Upsample module, models/gan_model.py:71-89.
+    `kernel` is the normalized FIR filter from :func:`make_kernel`.
+    """
+    klen = kernel.shape[0]
+    p = klen - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, kernel * (factor**2), up=factor, down=1, pad=(pad0, pad1))
+
+
+def downsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
+    """FIR 2x downsampling (reference: Downsample, models/gan_model.py:92-110)."""
+    klen = kernel.shape[0]
+    p = klen - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
+
+
+def blur(
+    x: jax.Array,
+    kernel: jax.Array,
+    pad: tuple[int, int],
+    upsample_factor: int = 1,
+) -> jax.Array:
+    """FIR blur with explicit padding (reference: Blur, models/gan_model.py:113-129)."""
+    if upsample_factor > 1:
+        kernel = kernel * (upsample_factor**2)
+    return upfirdn2d(x, kernel, up=1, down=1, pad=pad)
+
+
+def blur_pad_upsample(kernel_len: int, conv_kernel_size: int, factor: int = 2):
+    """Blur padding used after the transposed conv in the modulated upsample
+    path (reference: ModulatedConv2d.__init__, models/gan_model.py:243-249)."""
+    p = (kernel_len - factor) - (conv_kernel_size - 1)
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2 + 1
+    return pad0, pad1
+
+
+def blur_pad_downsample(kernel_len: int, conv_kernel_size: int, factor: int = 2):
+    """Blur padding before the strided conv in the modulated downsample path
+    (reference: models/gan_model.py:251-257; also ConvLayer :857-866)."""
+    p = (kernel_len - factor) + (conv_kernel_size - 1)
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return pad0, pad1
