@@ -1,0 +1,72 @@
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.md): single-chip 512x512 generation throughput.
+Baseline target: 200 imgs/sec/chip (driver BASELINE.json north star).
+
+The flagship model is the FFHQ-512 disentangled generator (split_fc mapping,
+7 latent groups). Weights are randomly initialized — throughput is
+weight-independent. Activations run in bfloat16 (TPU MXU native); parameters
+stay float32.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import FFHQ_GROUPS
+    from gan_control_tpu.latent.groups import GroupSpec
+    from gan_control_tpu.models.generator import Generator
+
+    platform = jax.devices()[0].platform
+    batch = 16 if platform == "tpu" else 2
+    size = 512 if platform == "tpu" else 64
+    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+
+    spec = GroupSpec.from_config(FFHQ_GROUPS, mini_batch=16)
+    gen = Generator(size=size, style_dim=512, n_mlp=8, split_fc=True,
+                    fc_groups=spec.fc_dims(), dtype=dtype)
+    z = jax.random.normal(jax.random.PRNGKey(0), (batch, 512))
+    params = gen.init({"params": jax.random.PRNGKey(1),
+                       "noise": jax.random.PRNGKey(2)}, [z[:1]])
+
+    @jax.jit
+    def generate(params, z, rng):
+        img, _ = gen.apply(params, [z], rngs={"noise": rng})
+        return img
+
+    rng = jax.random.PRNGKey(3)
+    # compile + warmup
+    out = generate(params, z, rng)
+    jax.block_until_ready(out)
+
+    n_iters = 20 if platform == "tpu" else 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        rng, k = jax.random.split(rng)
+        out = generate(params, z, k)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    baseline = 200.0  # imgs/sec/chip target from BASELINE.md
+    result = {
+        "metric": f"generation_{size}px_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / baseline, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Phase-2b dataset: the attributes DataFrame -> (controls, w-latents).
+
+Behavior contract: datasets/dataframe_dataset.py:18-56 in the reference —
+pickle DataFrame with one row per generated sample; columns hold the
+predictor outputs (age, orientation, expression_q, hair, gamma3d,
+expression3d, orientation3d, arcface_emb) plus 'latents_w'; 90/10
+train/eval split by row order (:23-26); 'expression_q' returned one-hot
+(:37). Column mapping from loss name: controller_trainer.py:143-152."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+ATTRIBUTE_COLUMNS = {
+    "age_loss": "age",
+    "orientation_loss": "orientation",
+    "hair_loss": "hair",
+    "gamma_loss": "gamma3d",
+    "recon_gamma_loss": "gamma3d",
+    # expression picks the column by controller in_dim: 64 -> expression3d,
+    # 8 -> expression_q (reference controller_trainer.py:146-149)
+    "expression_loss_64": "expression3d",
+    "expression_loss_8": "expression_q",
+}
+
+NUM_EXPRESSION_CLASSES = 8
+
+
+def attribute_column_for(loss_name: str, in_dim: int | None = None) -> str:
+    if loss_name == "expression_loss":
+        return "expression3d" if (in_dim or 64) == 64 else "expression_q"
+    if loss_name in ATTRIBUTE_COLUMNS:
+        return ATTRIBUTE_COLUMNS[loss_name]
+    raise ValueError(f"no attribute column mapping for {loss_name}")
+
+
+class DataFrameDataset:
+    """Materializes (controls [N,D], latents_w [N,512]) as numpy arrays."""
+
+    def __init__(self, df_path: str | Path, attribute: str, train: bool = True,
+                 eval_fraction: float = 0.1):
+        import pandas as pd
+
+        df = pd.read_pickle(df_path)
+        n = len(df)
+        split = int(n * (1 - eval_fraction))
+        rows = df.iloc[:split] if train else df.iloc[split:]
+
+        controls = np.stack([np.asarray(v, np.float32).ravel() for v in rows[attribute]])
+        if attribute == "expression_q":
+            onehot = np.zeros((len(controls), NUM_EXPRESSION_CLASSES), np.float32)
+            onehot[np.arange(len(controls)), controls.astype(int).ravel()] = 1.0
+            controls = onehot
+        latents = np.stack([np.asarray(v, np.float32).ravel() for v in rows["latents_w"]])
+        self.controls = controls
+        self.latents_w = latents
+
+    def __len__(self):
+        return len(self.controls)
+
+
+def get_dataframe_data_loader(
+    df_path: str | Path,
+    attribute: str,
+    batch_size: int,
+    train: bool = True,
+    seed: int = 0,
+) -> tuple[Iterator[tuple[np.ndarray, np.ndarray]], DataFrameDataset]:
+    """Infinite shuffled (controls, w) batches + the dataset object."""
+    ds = DataFrameDataset(df_path, attribute, train=train)
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        while True:
+            perm = rng.permutation(len(ds))
+            for s in range(0, len(perm) - batch_size + 1, batch_size):
+                idx = perm[s : s + batch_size]
+                yield ds.controls[idx], ds.latents_w[idx]
+
+    return gen(), ds

@@ -1,0 +1,174 @@
+"""Image-folder datasets + infinite prefetching loaders.
+
+Behavior contracts:
+  - FFHQ (reference datasets/ffhq_dataset.py:17-79): recursive image folder,
+    Resize(size) when size != native, RandomHorizontalFlip, normalize
+    mean/std 0.5 -> [-1, 1]; infinite generator (``sample_data`` :50-54).
+  - AFHQ (afhq_dataset.py): DOG classes only (train+val dog dirs),
+    RandomResizedCrop(p=0.5, scale (0.8, 1.0)) + resize + flip.
+  - MetFaces (metfaces_dataset.py): recursive glob + resize + flip.
+
+TPU-first: loaders yield NHWC float32 numpy batches ready for
+``jax.device_put`` with a batch sharding; decode/augment runs in a
+background thread pool (the torch-DataLoader-worker replacement)."""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def list_images(root: str | Path) -> list[Path]:
+    root = Path(root)
+    return sorted(
+        p for p in root.rglob("*") if p.suffix.lower() in IMG_EXTENSIONS
+    )
+
+
+class ImageFolderDataset:
+    """Decode -> (optional random-resized-crop) -> resize -> flip -> [-1,1]."""
+
+    def __init__(
+        self,
+        paths: Sequence[Path],
+        size: int,
+        hflip: bool = True,
+        random_resized_crop_p: float = 0.0,
+        seed: int = 0,
+    ):
+        if Image is None:
+            raise RuntimeError("PIL is required for image datasets")
+        if not paths:
+            raise ValueError("empty dataset")
+        self.paths = list(paths)
+        self.size = size
+        self.hflip = hflip
+        self.rrc_p = random_resized_crop_p
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def load(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+        img = Image.open(self.paths[idx]).convert("RGB")
+        if self.rrc_p > 0 and rng.random() < self.rrc_p:
+            w, h = img.size
+            scale = rng.uniform(0.8, 1.0)
+            cw, ch = int(w * scale), int(h * scale)
+            x0 = rng.integers(0, w - cw + 1)
+            y0 = rng.integers(0, h - ch + 1)
+            img = img.crop((x0, y0, x0 + cw, y0 + ch))
+        if img.size != (self.size, self.size):
+            img = img.resize((self.size, self.size), Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0  # HWC in [-1,1]
+        if self.hflip and rng.random() < 0.5:
+            arr = arr[:, ::-1]
+        return arr
+
+
+def infinite_loader(
+    dataset: ImageFolderDataset,
+    batch_size: int,
+    workers: int = 4,
+    seed: int = 0,
+    prefetch: int = 2,
+) -> Iterator[np.ndarray]:
+    """Infinite shuffled NHWC batches with background decoding."""
+    order_rng = np.random.default_rng(seed)
+    pool = ThreadPoolExecutor(max_workers=max(workers, 1))
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def make_batch(indices, batch_seed):
+        rngs = [np.random.default_rng((batch_seed, int(i))) for i in indices]
+        imgs = list(pool.map(dataset.load, indices, rngs))
+        return np.stack(imgs, axis=0)
+
+    def producer():
+        epoch = 0
+        while not stop.is_set():
+            perm = order_rng.permutation(len(dataset))
+            for s in range(0, len(perm) - batch_size + 1, batch_size):
+                if stop.is_set():
+                    return
+                idx = perm[s : s + batch_size]
+                q.put(make_batch(idx, epoch * 1_000_003 + s))
+            epoch += 1
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()
+
+
+def get_ffhq_data_loader(
+    data_config: dict, batch_size: int, size: int, seed: int = 0
+) -> Iterator[np.ndarray]:
+    ds = ImageFolderDataset(list_images(data_config["path"]), size=size)
+    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)), seed=seed)
+
+
+def get_afhq_data_loader(
+    data_config: dict, batch_size: int, size: int, seed: int = 0
+) -> Iterator[np.ndarray]:
+    """Dog images only: <path>/train/dog + <path>/val/dog (reference
+    afhq_dataset.py:33-34), with random-resized-crop p=0.5."""
+    root = Path(data_config["path"])
+    paths = []
+    for split in ("train", "val"):
+        d = root / split / "dog"
+        if d.is_dir():
+            paths.extend(list_images(d))
+    if not paths:  # fall back to flat layout
+        paths = list_images(root)
+    ds = ImageFolderDataset(paths, size=size, random_resized_crop_p=0.5)
+    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)), seed=seed)
+
+
+def get_metfaces_data_loader(
+    data_config: dict, batch_size: int, size: int, seed: int = 0
+) -> Iterator[np.ndarray]:
+    ds = ImageFolderDataset(list_images(data_config["path"]), size=size)
+    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)), seed=seed)
+
+
+def synthetic_data_loader(
+    batch_size: int, size: int, seed: int = 0
+) -> Iterator[np.ndarray]:
+    """Deterministic fake-image stream for tests / dry runs / benches."""
+    rng = np.random.default_rng(seed)
+    while True:
+        yield rng.standard_normal((batch_size, size, size, 3)).astype(np.float32) * 0.5
+
+
+def get_data_loader(
+    data_config: dict, batch_size: int, size: int, seed: int = 0
+) -> Iterator[np.ndarray]:
+    """Dispatch on data_set_name (reference GeneratorTrainer.init_data_set,
+    generator_trainer.py:205-216)."""
+    name = data_config.get("data_set_name", "ffhq")
+    if name == "synthetic" or not os.path.isdir(str(data_config.get("path", ""))):
+        return synthetic_data_loader(batch_size, size, seed)
+    if name == "ffhq":
+        return get_ffhq_data_loader(data_config, batch_size, size, seed)
+    if name == "afhq":
+        return get_afhq_data_loader(data_config, batch_size, size, seed)
+    if name == "metfaces":
+        return get_metfaces_data_loader(data_config, batch_size, size, seed)
+    raise ValueError(f"unknown data_set_name {name}")

@@ -1,0 +1,252 @@
+"""Phase-2b trainer: per-attribute control encoders.
+
+Behavior contract: ControllerTrainer (reference trainers/controller_trainer.py
+— semantics; its published imports are stale, SURVEY.md §0):
+  - loads the frozen phase-1 generator from ``generator_dir`` and copies its
+    args.json + latest checkpoint into ``<save_dir>/generator`` so the
+    controller dir is self-contained (:80-87) — the layout Controller
+    inference expects,
+  - derives the working group + its latent size from the configured loss's
+    ``same_group_name`` (:94-101),
+  - FcStack(lr_mlp, n_mlp, in_dim, mid_dim, group_latent_size) + Adam with
+    reg-ratio scaling (:104-113),
+  - data: (controls, w) rows from the phase-2a attributes DataFrame with the
+    loss->column mapping (:143-152),
+  - loss: ``latent_rec`` L1/MSE between predicted group latent and the true
+    group slice of w (:222-229); optional ``attribute_rec``: swap the
+    predicted slice into w, run the frozen G, re-predict the attribute with
+    the frozen predictor, compare to the target control
+    (weight ``attribute_rec_w``, :231-239),
+  - eval on the held-out 10% split (:292-335), checkpoints
+    {controller, controller_optim} (:397-406).
+
+TPU-first: the whole update (FcStack fwd + optional frozen-G synthesis +
+predictor + backward) is one jitted step; the frozen generator params are
+closed-over constants on device."""
+
+from __future__ import annotations
+
+import dataclasses
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Callable, Mapping
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gan_control_tpu.data.dataframe import attribute_column_for, get_dataframe_data_loader
+from gan_control_tpu.inference.inference import Inference
+from gan_control_tpu.models.controller import FcStack
+from gan_control_tpu.training.state import reg_adam
+from gan_control_tpu.utils import checkpoint as ckpt_lib
+from gan_control_tpu.utils.config import make_save_dir, read_json
+from gan_control_tpu.utils.logging_utils import get_logger
+
+_log = get_logger(__name__)
+
+# loss name -> the latent group it controls (same_group_name in the phase-1
+# config loss blocks; configs/ffhq.json)
+LOSS_TO_GROUP = {
+    "orientation_loss": "orientation",
+    "age_loss": "age",
+    "expression_loss": "expression",
+    "hair_loss": "hair",
+    "gamma_loss": "gamma",
+    "recon_gamma_loss": "gamma",
+    "embedding_loss": "id",
+    "dog_id_loss": "id",
+    "style_loss": "style",
+}
+
+
+@flax.struct.dataclass
+class ControllerState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class ControllerTrainer:
+    def __init__(
+        self,
+        config_path: str | Path | None = None,
+        config: Mapping[str, Any] | None = None,
+        init_dirs: bool = True,
+        predict_fn: Callable[[jax.Array], jax.Array] | None = None,
+        controller_criterion: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+        data_loader=None,
+        eval_data=None,
+    ):
+        assert (config_path is None) != (config is None)
+        self.config = dict(config) if config is not None else read_json(config_path)
+        mc = self.config["model_config"]
+        tc = self.config["training_config"]
+        self.mc, self.tc = mc, tc
+
+        # frozen phase-1 generator
+        self.inference = Inference(tc["generator_dir"])
+        self.generator = self.inference.model
+        self.g_params = self.inference.params
+        self.spec = self.inference.spec
+
+        # working group + latent slice
+        loss_name = mc["loss"]
+        self.working_group = LOSS_TO_GROUP[loss_name]
+        group = self.spec.group(self.working_group)
+        self.group_slice = (group.latent_start, group.latent_end)
+        self.group_latent_size = group.latent_size
+
+        # save dir: self-contained layout with a copy of the generator
+        self.save_dir = None
+        if init_dirs:
+            name = f"{self.working_group}_{self.config.get('save_name', 'controller')}"
+            self.save_dir = make_save_dir(
+                self.config.get("results_dir", "results/controllers"),
+                name,
+                self.config,
+                debug=tc.get("debug", False),
+            )
+            self._copy_generator_into_save_dir()
+
+        # controller + optimizer
+        self.controller = FcStack(
+            n_mlp=mc.get("n_mlp", 4),
+            mid_dim=mc.get("mid_dim", 512),
+            out_dim=self.group_latent_size,
+            lr_mlp=mc.get("lr_mlp", 0.01),
+        )
+        self.tx = reg_adam(tc.get("lr", 0.002), tc.get("reg_every", 4))
+        params = self.controller.init(
+            jax.random.PRNGKey(tc.get("seed", 0)), jnp.zeros((1, mc["in_dim"]))
+        )
+        self.state = ControllerState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=self.tx.init(params)
+        )
+
+        # data
+        if data_loader is None:
+            attribute = attribute_column_for(loss_name, mc.get("in_dim"))
+            self.loader, self.dataset = get_dataframe_data_loader(
+                tc["sampled_df_path"], attribute, tc.get("batch", 128)
+            )
+            self.eval_loader, self.eval_dataset = get_dataframe_data_loader(
+                tc["sampled_df_path"], attribute, 50, train=False
+            )
+        else:
+            self.loader, self.dataset = data_loader
+            self.eval_loader, self.eval_dataset = eval_data if eval_data else (None, None)
+
+        # losses
+        self.use_attribute_rec = "attribute_rec" in tc.get("losses", ["latent_rec"])
+        self.attribute_rec_w = tc.get("attribute_rec_w", 0.0)
+        self.rec_kind = tc.get("rec_loss", "l1")
+        self.predict_fn = predict_fn
+        self.criterion = controller_criterion
+        if self.use_attribute_rec and (predict_fn is None or controller_criterion is None):
+            raise ValueError("attribute_rec requires predict_fn + controller_criterion")
+
+        self._step_fn = jax.jit(self._make_step())
+        self._eval_fn = jax.jit(self._make_eval())
+        self.metrics_history: list[dict] = []
+
+    def _copy_generator_into_save_dir(self):
+        gdir = Path(self.save_dir) / "generator"
+        (gdir / "checkpoint").mkdir(parents=True, exist_ok=True)
+        src = Path(self.tc["generator_dir"])
+        shutil.copy(src / "args.json", gdir / "args.json")
+        latest = ckpt_lib.latest_checkpoint(src / "checkpoint")
+        shutil.copy(latest, gdir / "checkpoint" / latest.name)
+
+    # -- jitted programs ------------------------------------------------------
+
+    def _rec_loss(self, pred, target):
+        if self.rec_kind == "l1":
+            return jnp.mean(jnp.abs(pred - target))
+        return jnp.mean(jnp.square(pred - target))
+
+    def _make_step(self):
+        s, e = self.group_slice
+
+        def step(state: ControllerState, controls, org_latent, rng):
+            def loss_fn(params):
+                pred_latent = self.controller.apply(params, controls)
+                metrics = {}
+                rec = self._rec_loss(pred_latent, org_latent[:, s:e])
+                metrics["latent_rec_loss"] = rec
+                total = rec
+                if self.use_attribute_rec:
+                    latent = org_latent.at[:, s:e].set(pred_latent)
+                    img, _ = self.generator.apply(
+                        self.g_params, [latent], input_is_latent=True,
+                        rngs={"noise": rng},
+                    )
+                    pred_attr = self.predict_fn(img)
+                    attr_loss = self.criterion(pred_attr, controls)
+                    metrics["attribute_loss"] = attr_loss
+                    total = total + self.attribute_rec_w * attr_loss
+                metrics["loss"] = total
+                return total, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                ControllerState(step=state.step + 1, params=params, opt_state=opt_state),
+                metrics,
+            )
+
+        return step
+
+    def _make_eval(self):
+        s, e = self.group_slice
+
+        def evaluate(params, controls, org_latent):
+            pred_latent = self.controller.apply(params, controls)
+            return self._rec_loss(pred_latent, org_latent[:, s:e])
+
+        return evaluate
+
+    # -- loop -------------------------------------------------------------------
+
+    def train(self, num_iters: int | None = None):
+        tc = self.tc
+        total = num_iters if num_iters is not None else tc["iter"]
+        eval_interval = tc.get("min_evaluate_interval", 5000)
+        save_interval = tc.get("save_nets_interval", 20000)
+        rng = jax.random.PRNGKey(tc.get("seed", 0) + 7)
+        start = int(self.state.step)
+        for i in range(start, total):
+            controls, w = next(self.loader)
+            rng, k = jax.random.split(rng)
+            self.state, metrics = self._step_fn(
+                self.state, jnp.asarray(controls), jnp.asarray(w), k
+            )
+            if i % eval_interval == 0:
+                vals = {k2: float(v) for k2, v in metrics.items()}
+                vals["iter"] = i
+                if self.eval_loader is not None:
+                    ec, ew = next(self.eval_loader)
+                    vals["eval_latent_rec"] = float(
+                        self._eval_fn(self.state.params, jnp.asarray(ec), jnp.asarray(ew))
+                    )
+                self.metrics_history.append(vals)
+                _log.info("controller iter %d: %s", i, vals)
+            if self.save_dir and i > start and i % save_interval == 0:
+                self.save_nets(i)
+        if self.save_dir:
+            self.save_nets(total)
+
+    def save_nets(self, step: int):
+        payload = {
+            "controller": self.state.params,
+            "controller_optim": self.state.opt_state,
+        }
+        return ckpt_lib.save_checkpoint(
+            Path(self.save_dir) / "checkpoint", payload, step
+        )

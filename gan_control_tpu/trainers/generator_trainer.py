@@ -1,0 +1,269 @@
+"""Phase-1 trainer: the disentangled-GAN training loop.
+
+Behavior contract: GeneratorTrainer (reference trainers/generator_trainer.py)
+— per-iteration ``discriminator_update -> generator_update ->
+end_iter_update`` (:329-355) with:
+  - D step every ``d_every``, R1 regularization every ``d_reg_every``,
+  - G step with contrastive predictor losses, path-length reg every
+    ``g_reg_every`` on a ``batch // path_batch_shrink`` sub-batch,
+  - EMA accumulate per G step,
+  - periodic evaluation (FID / separability), sample saving, checkpoints
+    (+best-FID), resumable from ``ckpt_config``.
+
+TPU-first architecture: the four updates are separately-compiled jitted SPMD
+programs dispatched host-side by iteration number; the batch is sharded over
+a 1-D 'data' mesh (ICI), parameters replicated — XLA inserts the gradient
+all-reduces that nn.DataParallel did implicitly. The host loop only moves
+numpy batches to device and reads back scalar metrics at logging intervals
+(no per-iteration .item() syncs — metrics are fetched asynchronously)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Iterator, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gan_control_tpu.data.datasets import get_data_loader, synthetic_data_loader
+from gan_control_tpu.latent.groups import GroupSpec, randomized_spec
+from gan_control_tpu.models.factory import (
+    build_discriminator,
+    build_generator,
+    build_group_spec,
+)
+from gan_control_tpu.training.state import (
+    GANTrainState,
+    init_gan_state,
+    make_gan_optimizers,
+)
+from gan_control_tpu.training.train_step import (
+    AttributeLossSpec,
+    TrainStepConfig,
+    make_train_steps,
+)
+from gan_control_tpu.utils import checkpoint as ckpt_lib
+from gan_control_tpu.utils.config import (
+    add_weight_to_name,
+    config_checks,
+    make_save_dir,
+    read_json,
+)
+from gan_control_tpu.utils.logging_utils import get_logger
+
+_log = get_logger(__name__)
+
+
+def mixing_noise(rng: np.random.Generator, batch: int, latent_dim: int, prob: float):
+    """1 or 2 z tensors (style mixing with probability ``prob``; reference
+    trainers/utils.py:19-23). Host-side numpy; the count is static per call
+    so each arm compiles once."""
+    n = 2 if prob > 0 and rng.random() < prob else 1
+    return tuple(
+        rng.standard_normal((batch, latent_dim)).astype(np.float32) for _ in range(n)
+    )
+
+
+class GeneratorTrainer:
+    def __init__(
+        self,
+        config_path: str | Path | None = None,
+        config: Mapping[str, Any] | None = None,
+        init_dirs: bool = True,
+        attr_losses: Sequence[AttributeLossSpec] = (),
+        predictor_params: Mapping[str, Any] | None = None,
+        data_loader: Iterator[np.ndarray] | None = None,
+        mesh: Mesh | None = None,
+    ):
+        assert (config_path is None) != (config is None)
+        self.config = dict(config) if config is not None else read_json(config_path)
+        problems = config_checks(self.config)
+        if problems:
+            raise ValueError("config problems: " + "; ".join(problems))
+
+        mc = self.config["model_config"]
+        tc = self.config["training_config"]
+        self.mc, self.tc = mc, tc
+
+        # experiment dir (args.json contract)
+        self.save_dir = None
+        if init_dirs:
+            name = self.config.get("save_name", "experiment")
+            if self.config.get("add_weight_to_name"):
+                name = add_weight_to_name(name, tc)
+            self.save_dir = make_save_dir(
+                self.config.get("results_dir", "results"),
+                name,
+                self.config,
+                debug=tc.get("debug", False),
+            )
+            _log.info("save dir: %s", self.save_dir)
+
+        # latent-group engine
+        self.spec: GroupSpec | None = build_group_spec(self.config)
+        self.random_mode = tc.get("mini_batch_mode", "normal") == "random"
+
+        # models + optimizers
+        self.generator = build_generator(self.config, self.spec)
+        self.discriminator = build_discriminator(self.config)
+        self.g_tx, self.d_tx = make_gan_optimizers(tc)
+
+        # mesh: 1-D data-parallel over every visible device (ICI)
+        self.mesh = mesh or Mesh(np.array(jax.devices()), ("data",))
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+        # frozen predictors
+        self.attr_losses = tuple(attr_losses)
+        self.predictor_params = dict(predictor_params or {})
+
+        # compiled steps
+        self.step_cfg = TrainStepConfig(
+            batch=tc["batch"],
+            mini_batch=tc["mini_batch"],
+            r1=tc.get("r1", 1.0),
+            d_reg_every=tc.get("d_reg_every", 16),
+            g_reg_every=tc.get("g_reg_every", 4),
+            path_regularize=tc.get("path_regularize", 2.0),
+            path_batch_shrink=tc.get("path_batch_shrink", 2),
+            g_moving_average=tc.get("g_moving_average", 10000),
+            mixing=tc.get("mixing", 0.0),
+            vanilla=mc.get("vanilla", False),
+            style_dim=mc.get("latent_size", 512),
+        )
+        steps = make_train_steps(
+            self.generator,
+            self.discriminator,
+            self.step_cfg,
+            spec=self.spec,
+            attr_losses=self.attr_losses,
+            g_tx=self.g_tx,
+            d_tx=self.d_tx,
+        )
+        donate = {"donate_argnums": (0,)}
+        self._d_step = jax.jit(steps["d_step"], **donate)
+        self._d_reg_step = jax.jit(steps["d_reg_step"], **donate)
+        self._g_step = jax.jit(steps["g_step"], **donate)
+        self._g_reg_step = jax.jit(steps["g_reg_step"], **donate)
+
+        # state (fresh or resumed)
+        self.state = init_gan_state(
+            self.generator,
+            self.discriminator,
+            self.g_tx,
+            self.d_tx,
+            jax.random.PRNGKey(tc.get("seed", 0)),
+            style_dim=self.step_cfg.style_dim,
+        )
+        self.start_iter = tc.get("start_iter", 0)
+        ckpt_cfg = self.config.get("ckpt_config", {})
+        if ckpt_cfg.get("enabled"):
+            path = Path(ckpt_cfg["ckpt"])
+            _log.info("resuming from %s", path)
+            self.state = ckpt_lib.restore_checkpoint(path, self.state)
+            self.start_iter = ckpt_lib.parse_step(path)
+        self.state = jax.device_put(self.state, self.replicated)
+
+        # data
+        size = mc["size"] if mc["size"] != 896 else 896
+        self.loader = data_loader or get_data_loader(
+            self.config.get("data_config", {}), tc["batch"], size
+        )
+        self._host_rng = np.random.default_rng(tc.get("seed", 0) + 1)
+
+        # bookkeeping
+        self.metrics_history: list[dict] = []
+        self.iter_times: list[float] = []
+
+    # ------------------------------------------------------------------
+
+    def _put_batch(self, batch: np.ndarray) -> jax.Array:
+        return jax.device_put(batch, self.batch_sharding)
+
+    def _sample_z(self, batch: int):
+        z = mixing_noise(
+            self._host_rng, batch, self.step_cfg.style_dim, self.step_cfg.mixing
+        )
+        return tuple(jax.device_put(zi, self.batch_sharding) for zi in z)
+
+    def one_iteration(self, i: int):
+        """D update (+R1), G update (+path reg), EMA. Returns metric dict of
+        device scalars (not synced)."""
+        tc = self.tc
+        metrics: dict[str, Any] = {}
+        real = self._put_batch(next(self.loader))
+
+        if i % tc.get("d_every", 1) == 0:
+            self.state, m = self._d_step(self.state, real, self._sample_z(tc["batch"]))
+            metrics.update(m)
+        if i % tc.get("d_reg_every", 16) == 0:
+            self.state, m = self._d_reg_step(self.state, real)
+            metrics.update(m)
+
+        self.state, m = self._g_step(
+            self.state, self._sample_z(tc["batch"]), self.predictor_params
+        )
+        metrics.update(m)
+
+        if i % tc.get("g_reg_every", 4) == 0:
+            path_batch = max(tc["batch"] // max(tc.get("path_batch_shrink", 2), 1),
+                             jax.device_count())
+            self.state, m = self._g_reg_step(self.state, self._sample_z(path_batch))
+            metrics.update(m)
+        return metrics
+
+    def dry_run(self):
+        """One compile+execute of every step variant on synthetic data
+        (the reference dry_run's role of validating the training graph,
+        generator_trainer.py:301-327, minus the DataParallel grad quirks
+        that SPMD doesn't have)."""
+        _log.info("dry run: compiling all step variants...")
+        saved_loader = self.loader
+        size = self.mc["size"] if self.mc["size"] != 896 else 896
+        self.loader = synthetic_data_loader(self.tc["batch"], size)
+        t0 = time.time()
+        m = self.one_iteration(0)
+        jax.block_until_ready(m)
+        _log.info("dry run done in %.1fs: %s", time.time() - t0,
+                  {k: float(v) for k, v in m.items()})
+        self.loader = saved_loader
+        return m
+
+    def train(self, num_iters: int | None = None):
+        tc = self.tc
+        total = num_iters if num_iters is not None else tc["iter"]
+        log_every = 10 if tc.get("debug") else 100
+        save_nets_interval = tc.get("save_nets_interval", 10000)
+        pending: tuple[int, dict] | None = None
+
+        for i in range(self.start_iter, total):
+            t0 = time.time()
+            metrics = self.one_iteration(i)
+            # async metric readback: fetch last iter's (already-done) values
+            if pending is not None and (pending[0] % log_every == 0):
+                vals = {k: float(v) for k, v in pending[1].items()}
+                vals["iter"] = pending[0]
+                self.metrics_history.append(vals)
+                _log.info("iter %d: %s", pending[0],
+                          json.dumps({k: round(v, 4) for k, v in vals.items()}))
+            pending = (i, metrics)
+            self.iter_times.append(time.time() - t0)
+
+            if self.save_dir and i > self.start_iter and i % save_nets_interval == 0:
+                self.save_nets(i)
+
+        jax.block_until_ready(self.state)
+        if self.save_dir:
+            self.save_nets(total)
+
+    def save_nets(self, step: int, name: str | None = None):
+        path = ckpt_lib.save_checkpoint(
+            Path(self.save_dir) / "checkpoint", self.state, step, name=name
+        )
+        _log.info("saved %s", path)
+        return path

@@ -1,0 +1,314 @@
+"""Jitted SPMD train steps for phase-1 (disentangled GAN) training.
+
+Behavior contract: GeneratorTrainer's four inner updates
+(reference trainers/generator_trainer.py):
+  - discriminator_step (:645-667): D logistic loss on G(z) vs real.
+  - discriminator_regularize_step (:697-712): R1 every d_reg_every iters,
+    weighted ``r1/2 * d_reg_every``.
+  - generator_step (:407-436): non-saturating adversarial loss + per-group
+    contrastive predictor losses on mini-batches arranged by re_arrange_z.
+  - generator_regularize_step (:568-599): path-length penalty every
+    g_reg_every iters on a ``batch // path_batch_shrink`` batch, weighted
+    ``path_regularize * g_reg_every``.
+  - EMA accumulate after every G step (:369).
+
+TPU-first design:
+  - Each update is ONE jitted function over the full global batch; the batch
+    dim is sharded over the mesh's 'data' axis and parameters are
+    replicated, so XLA inserts the gradient all-reduces (the SPMD
+    replacement for nn.DataParallel scatter/gather).
+  - The reference's sequential mini-batch gradient accumulation
+    (`loss.div_(num_mini) ... backward()` per chunk) is algebraically the
+    mean over mini-batch chunks of the same loss — computed here in one
+    graph; the contrastive distance matrices still couple only rows WITHIN
+    a mini_batch chunk, exactly like the reference.
+  - Regularize steps are separate compiled functions dispatched host-side by
+    iteration number (static control flow; no data-dependent branching
+    inside jit).
+
+Frozen predictors enter as `AttributeLossSpec.feature_fn(predictor_params,
+images)`; gradients flow through them into G (they are frozen by simply not
+updating their params — no stop_gradient).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_control_tpu.latent.groups import GroupSpec, re_arrange_z, same_not_same_split
+from gan_control_tpu.losses.contrastive import ContrastiveConfig, contrastive_loss
+from gan_control_tpu.training.gan_losses import (
+    d_logistic_loss,
+    g_nonsaturating_loss,
+    path_length_penalty,
+    r1_penalty,
+)
+from gan_control_tpu.training.state import GANTrainState, ema_decay, ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class AttributeLossSpec:
+    """One enabled contrastive loss (one JSON loss block).
+
+    feature_fn: (predictor_params, images NHWC in [-1,1]) -> list of
+      per-layer feature arrays, last entry = the criterion's embedding.
+    dist_fn: features -> [N,N] last-layer distance matrix.
+    """
+
+    name: str
+    group: str
+    cfg: ContrastiveConfig
+    feature_fn: Callable[[Any, jax.Array], Sequence[jax.Array]]
+    dist_fn: Callable[[jax.Array], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    """Static hyper-parameters of the train steps (training_config schema)."""
+
+    batch: int
+    mini_batch: int
+    r1: float = 1.0
+    d_reg_every: int = 16
+    g_reg_every: int = 4
+    path_regularize: float = 2.0
+    path_batch_shrink: int = 2
+    g_moving_average: float = 10000.0
+    mixing: float = 0.0
+    vanilla: bool = False
+    style_dim: int = 512
+
+
+def _attr_losses_for_batch(
+    attr_losses: Sequence[AttributeLossSpec],
+    spec: GroupSpec | None,
+    predictor_params: Mapping[str, Any],
+    images: jax.Array,
+    num_mini: int,
+):
+    """Sum of contrastive losses, averaged over mini-batch chunks."""
+    total = jnp.zeros((), jnp.float32)
+    metrics = {}
+    for al in attr_losses:
+        feats = al.feature_fn(predictor_params[al.name], images)
+        loss_al = jnp.zeros((), jnp.float32)
+        mb = images.shape[0] // num_mini
+        for k in range(num_mini):
+            chunk = [f[k * mb : (k + 1) * mb] for f in feats]
+            same, not_same = zip(
+                *(same_not_same_split(spec, f, al.group) for f in chunk)
+            )
+            loss_al = loss_al + contrastive_loss(al.cfg, same, not_same, al.dist_fn)
+        loss_al = loss_al / num_mini
+        metrics[f"g_{al.name}"] = loss_al
+        total = total + loss_al
+    return total, metrics
+
+
+def make_train_steps(
+    generator,
+    discriminator,
+    cfg: TrainStepConfig,
+    spec: GroupSpec | None = None,
+    attr_losses: Sequence[AttributeLossSpec] = (),
+    g_tx: optax.GradientTransformation | None = None,
+    d_tx: optax.GradientTransformation | None = None,
+    augment_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array] | None = None,
+    shared_feature_fns: Mapping[str, Callable] | None = None,
+):
+    """Build the four jitted update functions.
+
+    Args:
+      generator / discriminator: flax modules (static config).
+      cfg: static step hyper-parameters.
+      spec: latent-group table; required unless cfg.vanilla.
+      attr_losses: enabled contrastive losses. Entries whose feature_fn is
+        shared (recon-3d sub-losses) should pre-slice inside feature_fn.
+      g_tx / d_tx: optax optimizers (reg-ratio-scaled Adam by default caller).
+      augment_fn: ADA hook (images, p, rng) -> images, applied to D inputs.
+
+    Returns dict with 'd_step', 'd_reg_step', 'g_step', 'g_reg_step'. All
+    take/return GANTrainState as first arg (donated by the caller's jit).
+    """
+    num_mini = cfg.batch // cfg.mini_batch
+    assert cfg.batch % cfg.mini_batch == 0
+    if not cfg.vanilla:
+        assert spec is not None
+
+    def _gen_images(g_params, z_list, rng, inject_noise=None):
+        styles = list(z_list)
+        if not cfg.vanilla and spec is not None:
+            # arrangement applies within each mini-batch chunk
+            chunks = [
+                re_arrange_z(spec, [z[k * cfg.mini_batch : (k + 1) * cfg.mini_batch] for z in styles])
+                for k in range(num_mini)
+            ]
+            styles = [
+                jnp.concatenate([c[i] for c in chunks], axis=0)
+                for i in range(len(styles))
+            ]
+        img, latent = generator.apply(
+            g_params,
+            styles,
+            return_latents=True,
+            noise=inject_noise,
+            rngs={"noise": rng},
+        )
+        return img, latent
+
+    # ---------------- discriminator ----------------
+
+    def d_step(state: GANTrainState, real_img: jax.Array, z_list):
+        rng, r_noise, r_aug1, r_aug2 = jax.random.split(state.rng, 4)
+        fake_img, _ = _gen_images(state.g_params, z_list, r_noise)
+        fake_img = jax.lax.stop_gradient(fake_img)
+        if augment_fn is not None:
+            fake_img = augment_fn(fake_img, state.ada_p, r_aug1)
+            real_in = augment_fn(real_img, state.ada_p, r_aug2)
+        else:
+            real_in = real_img
+
+        def loss_fn(d_params):
+            fake_pred, _ = discriminator.apply(d_params, fake_img)
+            real_pred, _ = discriminator.apply(d_params, real_in)
+            return d_logistic_loss(real_pred, fake_pred), (real_pred, fake_pred)
+
+        (loss, (real_pred, fake_pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.d_params)
+        updates, d_opt_state = d_tx.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        metrics = {
+            "d_loss": loss,
+            "real_score": real_pred.mean(),
+            "fake_score": fake_pred.mean(),
+            # ADA p adaptation statistic: sign of real logits (reference
+            # :669-688 adjusts p from accumulated sign(real_pred)).
+            "r_t": jnp.mean(jnp.sign(real_pred)),
+        }
+        return state.replace(d_params=d_params, d_opt_state=d_opt_state, rng=rng), metrics
+
+    def d_reg_step(state: GANTrainState, real_img: jax.Array):
+        rng, r_aug = jax.random.split(state.rng)
+
+        def loss_fn(d_params):
+            def logit(x):
+                pred, _ = discriminator.apply(d_params, x)
+                return pred
+
+            r1 = r1_penalty(logit, real_img)
+            return cfg.r1 / 2.0 * r1 * cfg.d_reg_every, r1
+
+        (loss, r1), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+        updates, d_opt_state = d_tx.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return (
+            state.replace(d_params=d_params, d_opt_state=d_opt_state, rng=rng),
+            {"d_r1_loss": r1},
+        )
+
+    # ---------------- generator ----------------
+
+    def g_step(
+        state: GANTrainState,
+        z_list,
+        predictor_params: Mapping[str, Any],
+        inject_noise=None,
+    ):
+        rng, r_noise, r_aug = jax.random.split(state.rng, 3)
+
+        def loss_fn(g_params):
+            img, _ = _gen_images(g_params, z_list, r_noise, inject_noise)
+            d_in = img if augment_fn is None else augment_fn(img, state.ada_p, r_aug)
+            fake_pred, _ = discriminator.apply(state.d_params, d_in)
+            adv = g_nonsaturating_loss(fake_pred)
+            metrics = {"g_adv_loss": adv}
+            total = adv
+            if attr_losses:
+                attr_total, attr_metrics = _attr_losses_for_batch(
+                    attr_losses, spec, predictor_params, img, num_mini
+                )
+                total = total + attr_total
+                metrics.update(attr_metrics)
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params
+        )
+        updates, g_opt_state = g_tx.update(grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        g_ema = ema_update(
+            state.g_ema, g_params, ema_decay(cfg.batch, cfg.g_moving_average)
+        )
+        metrics["g_loss"] = loss
+        return (
+            state.replace(
+                g_params=g_params,
+                g_opt_state=g_opt_state,
+                g_ema=g_ema,
+                rng=rng,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    def g_reg_step(state: GANTrainState, z_list):
+        rng, r_noise, r_path = jax.random.split(state.rng, 3)
+
+        def loss_fn(g_params):
+            def synth(latent):
+                img, _ = generator.apply(
+                    g_params,
+                    [latent],
+                    input_is_latent=True,
+                    rngs={"noise": r_noise},
+                )
+                return img
+
+            w_list = [
+                generator.apply(g_params, z, method=type(generator).map_latent)
+                for z in z_list
+            ]
+            # mixing in reg step uses the same w+ construction; for the
+            # shipped configs mixing=0 so one style -> broadcast w+.
+            latent = jnp.repeat(
+                w_list[0][:, None, :], generator.n_latent, axis=1
+            )
+            penalty, new_mean, path_lengths = path_length_penalty(
+                synth, latent, r_path, state.mean_path_length
+            )
+            weighted = cfg.path_regularize * cfg.g_reg_every * penalty
+            return weighted, (penalty, new_mean, path_lengths)
+
+        (loss, (penalty, new_mean, path_lengths)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.g_params)
+        updates, g_opt_state = g_tx.update(grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        metrics = {
+            "g_path_loss": penalty,
+            "g_path_length": path_lengths.mean(),
+            "g_mean_path_length": new_mean,
+        }
+        return (
+            state.replace(
+                g_params=g_params,
+                g_opt_state=g_opt_state,
+                mean_path_length=new_mean,
+                rng=rng,
+            ),
+            metrics,
+        )
+
+    return {
+        "d_step": d_step,
+        "d_reg_step": d_reg_step,
+        "g_step": g_step,
+        "g_reg_step": g_reg_step,
+    }

@@ -19,8 +19,9 @@ import jax
 # override after import so tests run on the local 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
-# Numeric-parity tests compare against float64 oracles.
-jax.config.update("jax_enable_x64", True)
+# NOTE: x64 is intentionally NOT enabled — it silently promotes every conv
+# to float64 on the CPU test backend (minutes-long compiles on this box).
+# Parity tests compare f32 results against numpy oracles at f32 tolerances.
 
 # The default conv/matmul precision follows TPU bf16-pass semantics even on
 # CPU; parity tests need true f32 accumulation. Production code leaves

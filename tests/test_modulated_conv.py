@@ -91,7 +91,7 @@ def test_modulated_conv_matches_grouped_oracle(demodulate, mode):
     want = want.numpy().transpose(0, 2, 3, 1)
 
     assert got.shape == want.shape, (got.shape, want.shape)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=1e-6)
 
 
 def test_modulated_conv_1x1_torgb_case():
