@@ -28,9 +28,10 @@ def main():
     from gan_control_tpu.models.generator import Generator
 
     platform = jax.devices()[0].platform
-    batch = 16 if platform == "tpu" else 2
-    size = 512 if platform == "tpu" else 64
-    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    on_tpu = platform not in ("cpu",)
+    batch = 64 if on_tpu else 2
+    size = 512 if on_tpu else 64
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     spec = GroupSpec.from_config(FFHQ_GROUPS, mini_batch=16)
     gen = Generator(size=size, style_dim=512, n_mlp=8, split_fc=True,
@@ -42,22 +43,23 @@ def main():
     @jax.jit
     def generate(params, z, rng):
         img, _ = gen.apply(params, [z], rngs={"noise": rng})
-        return img
+        # scalar reduction: fetching it forces full device completion even
+        # on remote-tunnel backends where block_until_ready is unreliable
+        return jnp.sum(img)
 
-    rng = jax.random.PRNGKey(3)
     # compile + warmup
-    out = generate(params, z, rng)
-    jax.block_until_ready(out)
+    keys = [jax.random.PRNGKey(100 + i) for i in range(24)]
+    float(generate(params, z, keys[0]))
 
-    n_iters = 20 if platform == "tpu" else 3
-    t0 = time.perf_counter()
+    n_iters = 20 if on_tpu else 3
+    times = []
     for i in range(n_iters):
-        rng, k = jax.random.split(rng)
-        out = generate(params, z, k)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(generate(params, z, keys[i % len(keys)]))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
-    imgs_per_sec = batch * n_iters / dt
+    imgs_per_sec = batch / dt
     baseline = 200.0  # imgs/sec/chip target from BASELINE.md
     result = {
         "metric": f"generation_{size}px_imgs_per_sec_per_chip",

@@ -1,0 +1,54 @@
+"""CLI: compute the real-dataset inception statistics pickle used by FID.
+
+Reference contract: fid_utils/calc_inception.py:60-77 — iterate the real
+dataset, extract InceptionV3 pool3 features, save {'mean','cov'} pickle the
+evaluate_fid step consumes.
+
+Usage:
+    python calc_inception.py --path data/ffhq/images1024x1024 \
+        --size 512 --n_samples 50000 --save_path resources/inception_stats/inception_ffhq_512x512.pkl
+    # --inception_weights <torchvision inception .pth> for pretrained parity
+"""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--path", type=str, required=True)
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--n_samples", type=int, default=50_000)
+    parser.add_argument("--save_path", type=str, required=True)
+    parser.add_argument("--inception_weights", type=str, default=None)
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+
+    from gan_control_tpu.data.datasets import ImageFolderDataset, infinite_loader, list_images
+    from gan_control_tpu.evaluation import fid as fid_lib
+    from gan_control_tpu.evaluation import inception
+
+    if args.inception_weights:
+        params = inception.convert_torch_weights(args.inception_weights)
+    else:
+        print("WARNING: random inception weights — stats are only self-consistent")
+        params = inception.init_params(jax.random.PRNGKey(42))
+    feature_fn = fid_lib.make_feature_fn(params)
+
+    ds = ImageFolderDataset(list_images(args.path), size=args.size, hflip=False)
+    loader = infinite_loader(ds, args.batch, workers=4)
+
+    def to01(batches):
+        for b in batches:
+            yield (b + 1.0) * 0.5
+
+    feats = fid_lib.extract_features(feature_fn, to01(loader), args.n_samples, args.batch)
+    mean, cov = fid_lib.compute_stats(feats)
+    fid_lib.save_stats(args.save_path, mean, cov)
+    print(f"saved stats ({feats.shape[0]} samples) -> {args.save_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,12 +72,17 @@ def get_dataframe_data_loader(
     """Infinite shuffled (controls, w) batches + the dataset object."""
     ds = DataFrameDataset(df_path, attribute, train=train)
     rng = np.random.default_rng(seed)
+    # never exceed the dataset (a 50-row eval batch over a 20-row split
+    # would otherwise produce an empty epoch and an infinite spin)
+    bs = min(batch_size, len(ds))
+    if bs < 1:
+        raise ValueError(f"empty DataFrame split (train={train}) in {df_path}")
 
     def gen():
         while True:
             perm = rng.permutation(len(ds))
-            for s in range(0, len(perm) - batch_size + 1, batch_size):
-                idx = perm[s : s + batch_size]
+            for s in range(0, len(perm) - bs + 1, bs):
+                idx = perm[s : s + bs]
                 yield ds.controls[idx], ds.latents_w[idx]
 
     return gen(), ds

@@ -161,10 +161,33 @@ def get_data_loader(
     data_config: dict, batch_size: int, size: int, seed: int = 0
 ) -> Iterator[np.ndarray]:
     """Dispatch on data_set_name (reference GeneratorTrainer.init_data_set,
-    generator_trainer.py:205-216)."""
+    generator_trainer.py:205-216). Prefers the native C++ decode pipeline
+    (native/gcdata.cpp) when built and the dataset is all-JPEG."""
     name = data_config.get("data_set_name", "ffhq")
     if name == "synthetic" or not os.path.isdir(str(data_config.get("path", ""))):
         return synthetic_data_loader(batch_size, size, seed)
+
+    if data_config.get("native", True):
+        from gan_control_tpu.data import native_loader as nl
+
+        if nl.available():
+            if name == "afhq":
+                root = Path(data_config["path"])
+                paths = [
+                    p for split in ("train", "val")
+                    for p in list_images(root / split / "dog")
+                ] or list_images(root)
+                rrc_p = 0.5
+            else:
+                paths = list_images(data_config["path"])
+                rrc_p = 0.0
+            if paths and all(p.suffix.lower() in (".jpg", ".jpeg") for p in paths):
+                return nl.native_loader(
+                    paths, size, batch_size,
+                    workers=int(data_config.get("workers", 4)),
+                    seed=seed, random_resized_crop_p=rrc_p,
+                )
+
     if name == "ffhq":
         return get_ffhq_data_loader(data_config, batch_size, size, seed)
     if name == "afhq":

@@ -1,0 +1,100 @@
+"""ctypes bridge to the native C++ data loader (native/gcdata.cpp).
+
+The native backend replaces the reference's torch-DataLoader worker pool
+(ffhq_dataset.py 'workers': 32) with a C++ thread pool doing JPEG decode +
+random-resized-crop + bilinear resize + flip + [-1,1] normalization,
+handing ready NHWC float32 batches to ``jax.device_put``. Falls back
+gracefully when the .so has not been built (``make -C native``)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+_LIB_PATHS = [
+    Path(__file__).resolve().parents[2] / "native" / "libgcdata.so",
+    Path(os.environ.get("GCDATA_LIB", "")),
+]
+
+_lib = None
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        if p and p.is_file():
+            lib = ctypes.CDLL(str(p))
+            lib.gc_loader_create.restype = ctypes.c_void_p
+            lib.gc_loader_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+                ctypes.c_float,
+            ]
+            lib.gc_loader_next.restype = ctypes.c_int
+            lib.gc_loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+            lib.gc_loader_destroy.argtypes = [ctypes.c_void_p]
+            lib.gc_decode_one.restype = ctypes.c_int
+            lib.gc_decode_one.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float)
+            ]
+            _lib = lib
+            return lib
+    return None
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def decode_one(path: str | Path, size: int) -> np.ndarray:
+    """Decode+resize one JPEG to [size,size,3] float32 in [-1,1]."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("libgcdata.so not built (make -C native)")
+    out = np.empty((size, size, 3), np.float32)
+    rc = lib.gc_decode_one(
+        str(path).encode(), size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    )
+    if rc != 0:
+        raise IOError(f"decode failed: {path}")
+    return out
+
+
+def native_loader(
+    paths: Sequence[str | Path],
+    size: int,
+    batch_size: int,
+    workers: int = 4,
+    seed: int = 0,
+    hflip: bool = True,
+    random_resized_crop_p: float = 0.0,
+) -> Iterator[np.ndarray]:
+    """Infinite NHWC float32 [-1,1] batch stream from the C++ backend."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("libgcdata.so not built (make -C native)")
+    enc = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    handle = lib.gc_loader_create(
+        arr, len(enc), size, batch_size, workers, seed, int(hflip),
+        float(random_resized_crop_p),
+    )
+    if not handle:
+        raise RuntimeError("gc_loader_create failed")
+    try:
+        while True:
+            out = np.empty((batch_size, size, size, 3), np.float32)
+            rc = lib.gc_loader_next(
+                handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+            if rc != 0:
+                return
+            yield out
+    finally:
+        lib.gc_loader_destroy(handle)

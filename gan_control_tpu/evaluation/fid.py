@@ -1,0 +1,133 @@
+"""FID pipeline: inception feature stats + Fréchet distance.
+
+Behavior contract (reference fid_utils/):
+  - extract_features / extract_feature_from_samples (fid.py:15-40):
+    generator samples in [0,1] -> InceptionV3 pool3 features, batched;
+  - calc_fid (fid.py:43-67): Fréchet distance with an eps*I retry when the
+    covariance product is singular (pytorch-fid semantics);
+  - evaluate_fid (evaluate_fid.py:11-37): 50K samples vs a precomputed
+    real-set {mean, cov} pickle;
+  - calc_inception (calc_inception.py:60-77): build those stats from a real
+    dataset loader.
+
+TPU-first: feature extraction is one jitted program over sharded batches;
+only the 2048-d features come back to the host. The matrix sqrt runs on the
+host in float64 (scipy when available, else eigendecomposition of the
+symmetrized product) — it's a 2048x2048 one-shot, not a hot op."""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_control_tpu.evaluation.inception import InceptionV3Features, init_params
+
+
+def make_feature_fn(params):
+    """Returns jitted images([0,1] NHWC) -> [B,2048]."""
+    module = InceptionV3Features()
+
+    @jax.jit
+    def run(images):
+        return module.apply(params, images)
+
+    return run
+
+
+def compute_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(mean [2048], cov [2048,2048]) in float64."""
+    f = np.asarray(features, np.float64)
+    return f.mean(axis=0), np.cov(f, rowvar=False)
+
+
+def _sqrtm_psd(a: np.ndarray) -> np.ndarray:
+    """Matrix square root; scipy.linalg.sqrtm when available (pytorch-fid
+    parity), else symmetric eigendecomposition."""
+    try:
+        from scipy import linalg
+
+        s, _ = linalg.sqrtm(a, disp=False)
+        return s.real
+    except ImportError:
+        w, v = np.linalg.eigh((a + a.T) / 2)
+        w = np.clip(w, 0, None)
+        return (v * np.sqrt(w)) @ v.T
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) (fid.py:43-67)."""
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    cov1, cov2 = np.asarray(cov1, np.float64), np.asarray(cov2, np.float64)
+    diff = mu1 - mu2
+    cov_sqrt = _sqrtm_psd(cov1 @ cov2)
+    if not np.isfinite(cov_sqrt).all():
+        offset = np.eye(cov1.shape[0]) * eps
+        cov_sqrt = _sqrtm_psd((cov1 + offset) @ (cov2 + offset))
+    if np.iscomplexobj(cov_sqrt):
+        cov_sqrt = cov_sqrt.real
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * np.trace(cov_sqrt))
+
+
+def extract_features(
+    feature_fn, image_batches: Iterator[np.ndarray], n_samples: int, batch_size: int
+) -> np.ndarray:
+    """Collect >= n_samples features from [0,1] NHWC batches."""
+    feats = []
+    total = 0
+    for batch in image_batches:
+        feats.append(np.asarray(feature_fn(jnp.asarray(batch))))
+        total += batch.shape[0]
+        if total >= n_samples:
+            break
+    return np.concatenate(feats, axis=0)[:n_samples]
+
+
+def extract_features_from_generator(
+    gen_batch_fn: Callable[[jax.Array], jax.Array],
+    feature_fn,
+    n_samples: int,
+    batch_size: int,
+    rng: jax.Array,
+) -> np.ndarray:
+    """Features of generator output (gen_batch_fn: rng -> images [0,1])."""
+    feats = []
+    for _ in range(-(-n_samples // batch_size)):
+        rng, k = jax.random.split(rng)
+        imgs = gen_batch_fn(k)
+        feats.append(np.asarray(feature_fn(imgs)))
+    return np.concatenate(feats, axis=0)[:n_samples]
+
+
+def load_stats(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Reference inception-stats pickle: {'mean': ..., 'cov': ...}."""
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return np.asarray(d["mean"]), np.asarray(d["cov"])
+
+
+def save_stats(path: str | Path, mean: np.ndarray, cov: np.ndarray):
+    with open(path, "wb") as f:
+        pickle.dump({"mean": mean, "cov": cov}, f)
+
+
+def evaluate_fid(
+    gen_batch_fn,
+    feature_fn,
+    real_stats_path: str | Path,
+    n_samples: int = 50_000,
+    batch_size: int = 64,
+    rng: jax.Array | None = None,
+) -> float:
+    """The reference evaluate_fid contract (evaluate_fid.py:11-37)."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    mu_real, cov_real = load_stats(real_stats_path)
+    feats = extract_features_from_generator(
+        gen_batch_fn, feature_fn, n_samples, batch_size, rng
+    )
+    mu, cov = compute_stats(feats)
+    return frechet_distance(mu, cov, mu_real, cov_real)

@@ -1,0 +1,116 @@
+"""Tracker — training-time observability hub.
+
+Behavior contract (reference evaluation/tracker.py):
+  - iteration timing: min / max / rolling-200 mean, logged as JSON (:61-79);
+  - fixed-latent sample grids (:82-87) and per-group matrix grids (:89-116);
+  - FID every fid_interval with best-FID flag (:322-347);
+  - separability per configured loss (:185-311);
+  - write_stats -> scalar sink (:349-353).
+
+TPU-first: scalar metrics are appended to a JSONL file (and TensorBoard via
+torch.utils.tensorboard when available) — the JSONL is the source of truth
+so the tracker has no hard torch dependency."""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import deque
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from gan_control_tpu.utils.logging_utils import get_logger
+
+_log = get_logger(__name__)
+
+
+class Tracker:
+    def __init__(
+        self,
+        save_dir: str | Path | None = None,
+        tensorboard: bool = False,
+        rolling: int = 200,
+    ):
+        self.save_dir = Path(save_dir) if save_dir else None
+        self.iter_times: deque[float] = deque(maxlen=rolling)
+        self.min_iter_time = float("inf")
+        self.max_iter_time = 0.0
+        self._last_start: float | None = None
+        self.evaluation_dict: dict[str, Any] = {}
+        self.fid_history: list[tuple[int, float]] = []
+        self.best_fid = float("inf")
+        self._writer = None
+        if tensorboard and self.save_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(log_dir=str(self.save_dir / "tensorboard"))
+            except ImportError:
+                _log.warning("tensorboard unavailable; JSONL metrics only")
+
+    # -- timing (reference :61-79) -------------------------------------------
+
+    def mark_start_iter(self):
+        now = time.time()
+        if self._last_start is not None:
+            dt = now - self._last_start
+            self.iter_times.append(dt)
+            self.min_iter_time = min(self.min_iter_time, dt)
+            self.max_iter_time = max(self.max_iter_time, dt)
+        self._last_start = now
+
+    def time_stats(self) -> dict[str, float]:
+        if not self.iter_times:
+            return {}
+        return {
+            "iter_time_mean": float(np.mean(self.iter_times)),
+            "iter_time_min": self.min_iter_time,
+            "iter_time_max": self.max_iter_time,
+        }
+
+    # -- FID (reference :322-347) ---------------------------------------------
+
+    def register_fid(self, step: int, fid: float) -> bool:
+        """Record an FID value; returns True when it is the best so far."""
+        self.fid_history.append((step, fid))
+        is_best = fid < self.best_fid
+        self.best_fid = min(self.best_fid, fid)
+        self.evaluation_dict["fid"] = fid
+        self.evaluation_dict["best_fid"] = self.best_fid
+        return is_best
+
+    def is_best_fid(self) -> bool:
+        return bool(self.fid_history) and self.fid_history[-1][1] <= self.best_fid
+
+    # -- separability ------------------------------------------------------------
+
+    def register_separability(self, step: int, loss_name: str, layer_stats):
+        """layer_stats: list of {'same','not_same','all_not_same'} arrays."""
+        for li, st in enumerate(layer_stats):
+            self.evaluation_dict[f"separability/{loss_name}/l{li}_same_mean"] = float(
+                np.mean(st["same"])
+            )
+            self.evaluation_dict[f"separability/{loss_name}/l{li}_2ndbest_mean"] = float(
+                np.mean(st["not_same"])
+            )
+            margin = float(np.mean(st["not_same"]) - np.mean(st["same"]))
+            self.evaluation_dict[f"separability/{loss_name}/l{li}_margin"] = margin
+
+    # -- sink (reference write_stats :349-353) -------------------------------------
+
+    def write_stats(self, step: int, extra: dict[str, Any] | None = None):
+        record = {"iter": step, **self.time_stats(), **self.evaluation_dict}
+        if extra:
+            record.update({k: float(v) for k, v in extra.items()})
+        if self.save_dir is not None:
+            with open(self.save_dir / "metrics.jsonl", "a") as f:
+                f.write(json.dumps(record) + "\n")
+        if self._writer is not None:
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k != "iter":
+                    self._writer.add_scalar(k, v, step)
+        _log.info("stats @%d: %s", step, json.dumps(record))
+        self.evaluation_dict = {}
+        return record

@@ -1,0 +1,127 @@
+"""Loss registry: JSON training_config -> AttributeLossSpec list + params.
+
+The TPU replacement for LossModelClass's skeleton/criterion factories
+(reference losses/loss_model.py:40-102). Each predictor package under
+``gan_control_tpu.losses.predictors`` exposes:
+
+  - ``make_model(config) -> flax module`` (frozen feature extractor),
+  - ``features(module, params, images) -> [layer1.., embedding]``
+    including the reference's preprocessing quirks (center-crop, resize,
+    BGR/x255 renorm),
+  - ``last_layer_dist(features) -> [N,N]`` distance matrix,
+  - ``predict(module, params, images) -> human values``,
+  - ``controller_criterion(pred, target) -> scalar``,
+  - ``init_params(module, rng)`` and optionally
+    ``convert_torch_weights(path) -> params``.
+
+If the configured ``model_path`` checkpoint exists, weights are converted
+from the reference's torch format; otherwise parameters are randomly
+initialized with a loud warning (training remains mechanically correct, but
+the shipped contrastive thresholds are calibrated for pretrained weights).
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+from typing import Any
+
+import jax
+
+from gan_control_tpu.losses.contrastive import ContrastiveConfig
+from gan_control_tpu.training.train_step import AttributeLossSpec
+from gan_control_tpu.utils.logging_utils import get_logger
+
+_log = get_logger(__name__)
+
+# loss block name -> predictor module under .predictors
+PREDICTOR_MODULES = {
+    "embedding_loss": "arcface",
+    "orientation_loss": "hopenet",
+    "age_loss": "dex_age",
+    "expression_loss": "esr9",
+    "hair_loss": "hair_pspnet",
+    "recon_3d_loss": "face3dmm",
+    "style_loss": "vgg_style",
+    "dog_id_loss": "dogfacenet",
+    "classification_loss": "imagenet_cls",
+}
+
+RECON_SUB_LOSSES = ("id", "ex", "tex", "angles", "gamma", "xy", "z")
+
+
+def _load_predictor(name: str):
+    return importlib.import_module(f"gan_control_tpu.losses.predictors.{name}")
+
+
+def build_attr_losses(
+    training_config: dict, rng: jax.Array | None = None
+) -> tuple[tuple[AttributeLossSpec, ...], dict[str, Any]]:
+    """Instantiate every enabled loss. Returns (specs, predictor_params)."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    specs: list[AttributeLossSpec] = []
+    params: dict[str, Any] = {}
+
+    for loss_name, mod_name in PREDICTOR_MODULES.items():
+        block = training_config.get(loss_name)
+        if not isinstance(block, dict) or not block.get("enabled"):
+            continue
+        mod = _load_predictor(mod_name)
+        model = mod.make_model(block)
+        rng, k = jax.random.split(rng)
+        model_path = block.get("model_path", "")
+        if model_path and os.path.exists(model_path) and hasattr(mod, "convert_torch_weights"):
+            _log.info("%s: converting reference weights from %s", loss_name, model_path)
+            p = mod.convert_torch_weights(model, model_path)
+        else:
+            _log.warning(
+                "%s: pretrained weights not found at %r — using RANDOM weights "
+                "(loss thresholds are calibrated for pretrained predictors)",
+                loss_name, model_path,
+            )
+            p = mod.init_params(model, k)
+        params[loss_name] = p
+
+        if loss_name == "recon_3d_loss":
+            # one shared skeleton forward; per-sub-feature contrastive heads
+            # (reference generator_trainer.py:473-517)
+            for sub in RECON_SUB_LOSSES:
+                sub_block = block.get(f"{sub}_loss")
+                if not isinstance(sub_block, dict) or not sub_block.get("enabled"):
+                    continue
+                sub_name = f"recon_{sub}_loss"
+                params[sub_name] = p
+
+                def make_feature_fn(m=model, fmod=mod, which=sub):
+                    def feature_fn(pp, images):
+                        vec = fmod.features(m, pp, images)[-1]
+                        return [fmod.extract_feature(vec, which)]
+                    return feature_fn
+
+                specs.append(
+                    AttributeLossSpec(
+                        name=sub_name,
+                        group=sub_block["same_group_name"],
+                        cfg=ContrastiveConfig.from_json(sub_block),
+                        feature_fn=make_feature_fn(),
+                        dist_fn=mod.last_layer_dist,
+                    )
+                )
+            continue
+
+        def make_feature_fn(m=model, fmod=mod):
+            def feature_fn(pp, images):
+                return fmod.features(m, pp, images)
+            return feature_fn
+
+        specs.append(
+            AttributeLossSpec(
+                name=loss_name,
+                group=block["same_group_name"],
+                cfg=ContrastiveConfig.from_json(block),
+                feature_fn=make_feature_fn(),
+                dist_fn=mod.last_layer_dist,
+            )
+        )
+
+    return tuple(specs), params

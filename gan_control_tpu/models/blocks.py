@@ -60,7 +60,12 @@ class EqualLinear(nn.Module):
         bias = None
         if self.use_bias:
             bias = self.param(
-                "bias", lambda key, shape: jnp.full(shape, self.bias_init), (self.features,)
+                "bias",
+                # strong f32 (a python-float fill would create a weak-typed
+                # param whose dtype "hardens" after the first optimizer
+                # update, recompiling every jitted step once per round)
+                lambda key, shape: jnp.full(shape, self.bias_init, jnp.float32),
+                (self.features,),
             )
         if self.activation == "fused_lrelu":
             y = fused_leaky_relu(y, None if bias is None else bias * self.lr_mul)

@@ -55,6 +55,7 @@ class Discriminator(nn.Module):
 
     size: int
     channel_multiplier: float = 2.0
+    max_channels: int = 512
     blur_kernel: tuple = (1, 3, 3, 1)
     in_channels: int = 3
     verification: bool = False
@@ -64,7 +65,7 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        channels = channel_table(self.channel_multiplier)
+        channels = channel_table(self.channel_multiplier, self.max_channels)
         log_size = int(math.log2(self.size))
         res_split = (
             self.size // 4

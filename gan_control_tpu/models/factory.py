@@ -34,6 +34,7 @@ def build_generator(config: Mapping[str, Any], spec: GroupSpec | None) -> Genera
         style_dim=mc.get("latent_size", 512),
         n_mlp=mc.get("n_mlp", 8),
         channel_multiplier=mc.get("channel_multiplier", 2.0),
+        max_channels=mc.get("max_channels", 512),
         out_channels=mc.get("img_channels", 3),
         split_fc=mc.get("split_fc", False),
         marge_fc=mc.get("marge_fc", False),
@@ -52,6 +53,7 @@ def build_discriminator(config: Mapping[str, Any]) -> Discriminator:
     return Discriminator(
         size=size,
         channel_multiplier=mc.get("channel_multiplier", 2.0),
+        max_channels=mc.get("max_channels", 512),
         in_channels=mc.get("img_channels", 3),
         model_mode=model_mode,
     )

@@ -35,9 +35,14 @@ from gan_control_tpu.models.blocks import (
 )
 
 
-def channel_table(channel_multiplier: float = 2.0) -> dict[int, int]:
-    """Per-resolution channel widths (reference: models/gan_model.py:552-563)."""
-    return {
+def channel_table(
+    channel_multiplier: float = 2.0, max_channels: int = 512
+) -> dict[int, int]:
+    """Per-resolution channel widths (reference: models/gan_model.py:552-563).
+
+    ``max_channels`` caps the low-resolution plateau (512 in the reference);
+    tests use a small cap so 'tiny' models are actually tiny."""
+    table = {
         4: 512,
         8: 512,
         16: 512,
@@ -49,6 +54,7 @@ def channel_table(channel_multiplier: float = 2.0) -> dict[int, int]:
         1024: int(16 * channel_multiplier),
         1344: int(16 * channel_multiplier),
     }
+    return {k: min(v, max_channels) for k, v in table.items()}
 
 
 class RegularMapping(nn.Module):
@@ -160,6 +166,7 @@ class Generator(nn.Module):
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: float = 2.0
+    max_channels: int = 512
     blur_kernel: tuple = (1, 3, 3, 1)
     lr_mlp: float = 0.01
     out_channels: int = 3
@@ -187,7 +194,7 @@ class Generator(nn.Module):
     # -- submodule construction ------------------------------------------------
 
     def setup(self):
-        channels = channel_table(self.channel_multiplier)
+        channels = channel_table(self.channel_multiplier, self.max_channels)
 
         if self.vae:
             self.style = VAEMapping(self.bottleneck_size, self.lr_mlp)

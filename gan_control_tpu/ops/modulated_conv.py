@@ -48,6 +48,27 @@ from gan_control_tpu.ops.upfirdn2d import (
 _DEMOD_EPS = 1e-8
 
 
+def _fuse_kernels(corr1: jax.Array, corr2: jax.Array) -> jax.Array:
+    """Compose two correlation kernels into one: corr(corr(x, A), B) ==
+    corr(x, A (*) B) with (*) = full 2-D convolution of the kernels.
+
+    corr1: [kh, kw, I, O] per-channel-pair kernel; corr2: [bh, bw] depthwise
+    FIR. Returns [kh+bh-1, kw+bw-1, I, O]."""
+    kh, kw, ci, co = corr1.shape
+    bh, bw = corr2.shape
+    # full convolution of each (i,o) plane with corr2 == correlation with
+    # the flipped corr2 at full padding
+    k = jnp.transpose(corr1, (2, 3, 0, 1)).reshape(ci * co, 1, kh, kw)
+    b = jnp.flip(corr2, (0, 1))[None, None]  # OIHW [1,1,bh,bw]
+    out = lax.conv_general_dilated(
+        k, b,
+        window_strides=(1, 1),
+        padding=((bh - 1, bh - 1), (bw - 1, bw - 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jnp.transpose(out.reshape(ci, co, kh + bh - 1, kw + bw - 1), (2, 3, 0, 1))
+
+
 def _demod_factors(weight_scaled: jax.Array, style: jax.Array) -> jax.Array:
     """rsqrt of per-(sample, out-channel) modulated-weight energy.
 
@@ -107,30 +128,47 @@ def modulated_conv2d(
     xs = x * style[:, None, None, :].astype(x.dtype)
 
     if upsample:
-        # Transposed stride-2 conv == lhs-dilated conv with the spatially
-        # flipped kernel and full (k-1) padding.
+        # Single fused conv: transposed stride-2 conv and the trailing FIR
+        # blur are both correlations, so their kernels compose into ONE
+        # (k + blur - 1)-tap kernel applied to the lhs-dilated input —
+        # halving the conv count on every upsample layer. Padding algebra:
+        # the transposed conv pads (k-1) and the blur pads
+        # blur_pad_upsample(len_b, k); the fused conv pads their sum.
+        # (Unfused equivalent kept in tests as the parity oracle.)
+        len_b = blur_kernel.shape[0]
+        bp0, bp1 = blur_pad_upsample(len_b, k)
+        fused = _fuse_kernels(
+            jnp.flip(w, (0, 1)),
+            jnp.flip(blur_kernel, (0, 1)).astype(x.dtype) * 4.0,  # gain = factor^2
+        )
         out = lax.conv_general_dilated(
             xs,
-            jnp.flip(w, (0, 1)),
+            fused,
             window_strides=(1, 1),
-            padding=((k - 1, k - 1), (k - 1, k - 1)),
+            padding=((k - 1 + bp0, k - 1 + bp1), (k - 1 + bp0, k - 1 + bp1)),
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if demodulate:
+            # demod is per-(sample, out-channel); the depthwise blur
+            # commutes with it, so applying after the fused conv is exact
             out = out * _demod_factors(weight * scale, style)[:, None, None, :].astype(x.dtype)
-        pad0, pad1 = blur_pad_upsample(blur_kernel.shape[0], k)
-        out = blur(out, blur_kernel, pad=(pad0, pad1), upsample_factor=2)
         return out
 
     if downsample:
-        pad0, pad1 = blur_pad_downsample(blur_kernel.shape[0], k)
-        xs = blur(xs, blur_kernel, pad=(pad0, pad1))
+        # Same fusion for the downsample path: FIR blur then stride-2 conv
+        # == one stride-2 conv with the composed kernel.
+        len_b = blur_kernel.shape[0]
+        bp0, bp1 = blur_pad_downsample(len_b, k)
+        # compose (depthwise blur) then w: corr(corr(x, flipB), w) ==
+        # corr(x, flipB (*) w); flipB is shared across channels, so it folds
+        # into w directly (kernel convolution is commutative).
+        fused = _fuse_kernels(w, jnp.flip(blur_kernel, (0, 1)).astype(x.dtype))
         out = lax.conv_general_dilated(
             xs,
-            w,
+            fused,
             window_strides=(2, 2),
-            padding="VALID",
+            padding=((bp0, bp1), (bp0, bp1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if demodulate:

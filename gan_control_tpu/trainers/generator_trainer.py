@@ -135,7 +135,13 @@ class GeneratorTrainer:
             mixing=tc.get("mixing", 0.0),
             vanilla=mc.get("vanilla", False),
             style_dim=mc.get("latent_size", 512),
+            ada_enabled=tc.get("augment", {}).get("enabled", False),
+            ada_target=tc.get("augment", {}).get("ada_target", 0.6),
+            ada_length=tc.get("augment", {}).get("ada_length", 500_000),
         )
+        augment_fn = None
+        if self.step_cfg.ada_enabled:
+            from gan_control_tpu.training.ada import augment as augment_fn
         steps = make_train_steps(
             self.generator,
             self.discriminator,
@@ -144,6 +150,7 @@ class GeneratorTrainer:
             attr_losses=self.attr_losses,
             g_tx=self.g_tx,
             d_tx=self.d_tx,
+            augment_fn=augment_fn,
         )
         donate = {"donate_argnums": (0,)}
         self._d_step = jax.jit(steps["d_step"], **donate)
@@ -161,6 +168,20 @@ class GeneratorTrainer:
             style_dim=self.step_cfg.style_dim,
         )
         self.start_iter = tc.get("start_iter", 0)
+
+        # transfer learning: partial-load a pretrained generator
+        # (reference generator_trainer.py:154-157)
+        tl = tc.get("transfer_learning_model", {})
+        if tl.get("enabled"):
+            from gan_control_tpu.inference.inference import Inference
+            from gan_control_tpu.utils.transfer import partial_load
+
+            src_params = Inference.retrieve_model(tl["model_path"])[1]
+            g_params = partial_load(self.state.g_params, src_params)
+            self.state = self.state.replace(
+                g_params=g_params, g_ema=jax.tree_util.tree_map(jnp.copy, g_params)
+            )
+
         ckpt_cfg = self.config.get("ckpt_config", {})
         if ckpt_cfg.get("enabled"):
             path = Path(ckpt_cfg["ckpt"])
@@ -176,9 +197,21 @@ class GeneratorTrainer:
         )
         self._host_rng = np.random.default_rng(tc.get("seed", 0) + 1)
 
-        # bookkeeping
+        # bookkeeping + observability (Tracker: reference evaluation/tracker.py)
+        from gan_control_tpu.evaluation.tracker import Tracker
+
         self.metrics_history: list[dict] = []
         self.iter_times: list[float] = []
+        self.tracker = Tracker(
+            save_dir=self.save_dir,
+            tensorboard=self.config.get("tensorboard_config", {}).get("enabled", False)
+            and self.save_dir is not None,
+        )
+        ec = self.config.get("evaluation_config", {})
+        self.fid_cfg = ec.get("fid", {"enabled": False})
+        self.separability_cfg = ec.get("separability", {"enabled": False})
+        self._fid_feature_fn = None
+        self._sample_z_fixed = None
 
     # ------------------------------------------------------------------
 
@@ -237,11 +270,16 @@ class GeneratorTrainer:
     def train(self, num_iters: int | None = None):
         tc = self.tc
         total = num_iters if num_iters is not None else tc["iter"]
-        log_every = 10 if tc.get("debug") else 100
-        save_nets_interval = tc.get("save_nets_interval", 10000)
+        debug = tc.get("debug", False)
+        log_every = 10 if debug else 100
+        # debug shrinks the intervals (reference generator_trainer.py:724-732)
+        # but an explicitly configured interval always wins
+        save_nets_interval = tc.get("save_nets_interval", 50 if debug else 10000)
+        save_images_interval = tc.get("save_images_interval", 10 if debug else 2000)
         pending: tuple[int, dict] | None = None
 
         for i in range(self.start_iter, total):
+            self.tracker.mark_start_iter()
             t0 = time.time()
             metrics = self.one_iteration(i)
             # async metric readback: fetch last iter's (already-done) values
@@ -249,17 +287,142 @@ class GeneratorTrainer:
                 vals = {k: float(v) for k, v in pending[1].items()}
                 vals["iter"] = pending[0]
                 self.metrics_history.append(vals)
-                _log.info("iter %d: %s", pending[0],
-                          json.dumps({k: round(v, 4) for k, v in vals.items()}))
+                self.tracker.write_stats(pending[0], extra=pending[1])
             pending = (i, metrics)
             self.iter_times.append(time.time() - t0)
 
-            if self.save_dir and i > self.start_iter and i % save_nets_interval == 0:
-                self.save_nets(i)
+            if self.save_dir and i > self.start_iter:
+                if i % save_images_interval == 0:
+                    self.save_images(i)
+                if i % save_nets_interval == 0:
+                    self.save_nets(i)
+            self.evaluate(i)
 
         jax.block_until_ready(self.state)
         if self.save_dir:
             self.save_nets(total)
+
+    # -- periodic evaluation (reference end_iter_update, :721-748) ----------
+
+    def evaluate(self, i: int):
+        if (
+            self.fid_cfg.get("enabled")
+            and self.save_dir is not None
+            and i > self.start_iter
+            and i % self.fid_cfg.get("fid_interval", 10000) == 0
+        ):
+            fid = self.evaluate_fid()
+            if fid is not None:
+                is_best = self.tracker.register_fid(i, fid)
+                if is_best:
+                    self.save_nets(i, name="best_fid")
+        if (
+            self.separability_cfg.get("enabled")
+            and i > self.start_iter
+            and i % self.separability_cfg.get("separability_interval", 30000) == 0
+        ):
+            self.evaluate_separability(i)
+
+    def evaluate_fid(self) -> float | None:
+        """50K-sample FID vs the configured real-set inception stats
+        (reference evaluate_fid contract)."""
+        import os
+
+        stats_path = self.fid_cfg.get("inception_stat_path", "")
+        if not stats_path or not os.path.exists(stats_path):
+            _log.warning("fid enabled but stats pickle %r missing — skipping", stats_path)
+            return None
+        from gan_control_tpu.evaluation import fid as fid_lib
+        from gan_control_tpu.evaluation.inception import init_params as incep_init
+
+        if self._fid_feature_fn is None:
+            self._fid_feature_fn = fid_lib.make_feature_fn(
+                incep_init(jax.random.PRNGKey(42))
+            )
+        batch = self.tc["batch"]
+        g_ema = self.state.g_ema
+
+        @jax.jit
+        def gen_batch(rng):
+            k1, k2 = jax.random.split(rng)
+            z = jax.random.normal(k1, (batch, self.step_cfg.style_dim))
+            img, _ = self.generator.apply(g_ema, [z], rngs={"noise": k2})
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+        n = 500 if self.tc.get("debug") else self.fid_cfg.get("num_of_samples", 50000)
+        return fid_lib.evaluate_fid(
+            gen_batch, self._fid_feature_fn, stats_path, n_samples=n, batch_size=batch
+        )
+
+    def evaluate_separability(self, i: int):
+        from gan_control_tpu.evaluation.separability import calc_separability
+        from gan_control_tpu.losses import contrastive as C
+
+        losses = self.separability_cfg.get("losses", [])
+        n = 100 if self.tc.get("debug") else self.separability_cfg.get("num_of_samples", 2000)
+        g_ema = self.state.g_ema
+
+        @jax.jit
+        def gen(z):
+            img, _ = self.generator.apply(g_ema, [z], rngs={"noise": jax.random.PRNGKey(0)})
+            return img
+
+        for al in self.attr_losses:
+            if al.name not in losses:
+                continue
+            group = self.spec.group(al.group)
+            stats = calc_separability(
+                gen,
+                lambda imgs, al=al: al.feature_fn(self.predictor_params[al.name], imgs),
+                lambda s, q: C.pairwise_sq_l2(s, q),
+                jax.random.PRNGKey(i),
+                num_of_samples=n,
+                same_chunk=(group.latent_start, group.latent_end),
+                style_dim=self.step_cfg.style_dim,
+                last_layer_only=self.separability_cfg.get(
+                    "last_layer_separability_only", True
+                ),
+            )
+            self.tracker.register_separability(i, al.name, stats)
+
+    def save_images(self, i: int):
+        """Fixed-z sample grid + one per-group disentanglement matrix
+        (reference save_images, :774-850)."""
+        from gan_control_tpu.evaluation.generation import save_image_grid
+
+        if self._sample_z_fixed is None:
+            self._sample_z_fixed = jax.random.normal(
+                jax.random.PRNGKey(7), (16, self.step_cfg.style_dim)
+            )
+            # one jitted sampler reused for the fixed grid and every matrix
+            # (latents differ, the graph doesn't)
+            self._sample_fn = jax.jit(
+                lambda p, z, r: jnp.clip(
+                    self.generator.apply(p, [z], rngs={"noise": r})[0] * 0.5 + 0.5,
+                    0.0,
+                    1.0,
+                )
+            )
+        imgdir = Path(self.save_dir) / "images"
+        sample = self._sample_fn(
+            self.state.g_ema, self._sample_z_fixed, jax.random.PRNGKey(0)
+        )
+        (imgdir / "samples").mkdir(parents=True, exist_ok=True)
+        save_image_grid(sample, imgdir / "samples" / f"{i:06d}.jpg", nrow=4)
+        if self.spec is not None:
+            from gan_control_tpu.evaluation.generation import make_matrix_latents
+
+            for g in self.spec.groups:
+                lat = make_matrix_latents(
+                    jax.random.PRNGKey(i),
+                    ids_in_row=4,
+                    pose_in_col=4,
+                    style_dim=self.step_cfg.style_dim,
+                    same_chunk=(g.latent_start, g.latent_end),
+                )
+                mat = self._sample_fn(self.state.g_ema, lat, jax.random.PRNGKey(i))
+                (imgdir / g.name).mkdir(parents=True, exist_ok=True)
+                save_image_grid(mat, imgdir / g.name / f"{i:06d}.jpg", nrow=4)
 
     def save_nets(self, step: int, name: str | None = None):
         path = ckpt_lib.save_checkpoint(

@@ -78,6 +78,11 @@ def init_gan_state(
     d_vars = discriminator.init(
         k_d, jnp.zeros((init_batch, size, size, generator.out_channels))
     )
+    # strip weak types: a weak-typed param hardens after its first optimizer
+    # update, changing the jit signature and silently recompiling every
+    # train step once per weak leaf
+    strong = lambda t: jax.tree_util.tree_map(lambda x: x.astype(x.dtype), t)
+    g_vars, d_vars = strong(g_vars), strong(d_vars)
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_vars,

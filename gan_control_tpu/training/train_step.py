@@ -83,6 +83,9 @@ class TrainStepConfig:
     mixing: float = 0.0
     vanilla: bool = False
     style_dim: int = 512
+    ada_target: float = 0.6
+    ada_length: float = 500_000.0
+    ada_enabled: bool = False
 
 
 def _attr_losses_for_batch(
@@ -153,6 +156,30 @@ def make_train_steps(
                 jnp.concatenate([c[i] for c in chunks], axis=0)
                 for i in range(len(styles))
             ]
+        if (
+            inject_noise is None
+            and getattr(generator, "noise_mode", "normal") == "same_for_same_id"
+            and not cfg.vanilla
+            and spec is not None
+        ):
+            # explicit noise shared by same-id pairs (reference
+            # generator_step :417-419 + re_arrange_inject_noise)
+            from gan_control_tpu.latent.groups import re_arrange_inject_noise
+
+            rng, k_inj = jax.random.split(rng)
+            shapes = generator.noise_shapes(cfg.batch)
+            noises = [
+                jax.random.normal(jax.random.fold_in(k_inj, i), s)
+                for i, s in enumerate(shapes)
+            ]
+            arranged = []
+            for k in range(num_mini):
+                chunk = [n[k * cfg.mini_batch : (k + 1) * cfg.mini_batch] for n in noises]
+                arranged.append(re_arrange_inject_noise(spec, chunk))
+            inject_noise = [
+                jnp.concatenate([arranged[k][i] for k in range(num_mini)], axis=0)
+                for i in range(len(noises))
+            ]
         img, latent = generator.apply(
             g_params,
             styles,
@@ -184,15 +211,29 @@ def make_train_steps(
         )(state.d_params)
         updates, d_opt_state = d_tx.update(grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
+        r_t = jnp.mean(jnp.sign(real_pred))
         metrics = {
             "d_loss": loss,
             "real_score": real_pred.mean(),
             "fake_score": fake_pred.mean(),
             # ADA p adaptation statistic: sign of real logits (reference
             # :669-688 adjusts p from accumulated sign(real_pred)).
-            "r_t": jnp.mean(jnp.sign(real_pred)),
+            "r_t": r_t,
         }
-        return state.replace(d_params=d_params, d_opt_state=d_opt_state, rng=rng), metrics
+        ada_p = state.ada_p
+        if cfg.ada_enabled:
+            from gan_control_tpu.training.ada import ada_p_update
+
+            ada_p = ada_p_update(
+                ada_p, r_t, cfg.ada_target, real_img.shape[0], cfg.ada_length
+            )
+            metrics["ada_p"] = ada_p
+        return (
+            state.replace(
+                d_params=d_params, d_opt_state=d_opt_state, rng=rng, ada_p=ada_p
+            ),
+            metrics,
+        )
 
     def d_reg_step(state: GANTrainState, real_img: jax.Array):
         rng, r_aug = jax.random.split(state.rng)

@@ -1,0 +1,216 @@
+// gcdata — native data-loading backend for gan_control_tpu.
+//
+// Role: the runtime replacement for the reference's torch-DataLoader worker
+// pool (datasets/ffhq_dataset.py 'workers': 32): JPEG decode + optional
+// random-resized-crop + bilinear resize + horizontal flip + [-1,1]
+// normalization, multithreaded in C++, producing ready NHWC float32 batches
+// the Python side hands straight to jax.device_put.
+//
+// Exposed C ABI (consumed via ctypes from
+// gan_control_tpu/data/native_loader.py):
+//   gc_loader_create(paths, n_paths, size, batch, workers, seed,
+//                    hflip, rrc_p)            -> handle
+//   gc_loader_next(handle, float* out)        -> 0 on success
+//   gc_loader_destroy(handle)
+//   gc_decode_one(path, size, float* out)     -> 0 on success (test hook)
+
+#include <cstddef>
+#include <cstdio>
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file to RGB8. Returns false on failure.
+bool decode_jpeg(const std::string& path, std::vector<uint8_t>* rgb, int* w,
+                 int* h) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  rgb->resize(size_t(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = rgb->data() + size_t(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Bilinear resample the rect [sx0,sy0,sw,sh] of src (w x h RGB8) to an
+// out_size x out_size float32 HWC image in [-1,1]; optional mirror.
+void resize_normalize(const uint8_t* src, int w, int h, int sx0, int sy0,
+                      int sw, int sh, int out_size, bool mirror, float* out) {
+  const float sx_step = float(sw) / out_size;
+  const float sy_step = float(sh) / out_size;
+  for (int oy = 0; oy < out_size; ++oy) {
+    float fy = sy0 + (oy + 0.5f) * sy_step - 0.5f;
+    fy = std::min(std::max(fy, 0.0f), float(h - 1));
+    int y0 = int(fy);
+    int y1 = std::min(y0 + 1, h - 1);
+    float wy = fy - y0;
+    for (int ox = 0; ox < out_size; ++ox) {
+      int ox_dst = mirror ? (out_size - 1 - ox) : ox;
+      float fx = sx0 + (ox + 0.5f) * sx_step - 0.5f;
+      fx = std::min(std::max(fx, 0.0f), float(w - 1));
+      int x0 = int(fx);
+      int x1 = std::min(x0 + 1, w - 1);
+      float wx = fx - x0;
+      float* dst = out + (size_t(oy) * out_size + ox_dst) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = src[(size_t(y0) * w + x0) * 3 + c];
+        float v01 = src[(size_t(y0) * w + x1) * 3 + c];
+        float v10 = src[(size_t(y1) * w + x0) * 3 + c];
+        float v11 = src[(size_t(y1) * w + x1) * 3 + c];
+        float v = v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) +
+                  v10 * (1 - wx) * wy + v11 * wx * wy;
+        dst[c] = v / 127.5f - 1.0f;
+      }
+    }
+  }
+}
+
+struct Loader {
+  std::vector<std::string> paths;
+  int size = 0;
+  int batch = 0;
+  float rrc_p = 0.0f;
+  bool hflip = true;
+
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  std::queue<std::vector<float>> ready;
+  size_t max_ready = 4;
+  std::atomic<bool> stop{false};
+  uint64_t seed = 0;
+
+  void worker(int tid) {
+    std::mt19937_64 rng(seed + 0x9e3779b97f4a7c15ULL * (tid + 1));
+    std::uniform_real_distribution<float> uni(0.0f, 1.0f);
+    const size_t img_floats = size_t(size) * size * 3;
+    std::vector<uint8_t> rgb;
+    while (!stop.load()) {
+      std::vector<float> batch_buf(img_floats * batch);
+      for (int b = 0; b < batch; ++b) {
+        // sample-with-replacement shuffle (infinite stream semantics)
+        for (int attempt = 0; attempt < 16; ++attempt) {
+          const std::string& p = paths[rng() % paths.size()];
+          int w, h;
+          if (!decode_jpeg(p, &rgb, &w, &h)) continue;
+          int sx0 = 0, sy0 = 0, sw = w, sh = h;
+          if (rrc_p > 0 && uni(rng) < rrc_p) {
+            float scale = 0.8f + 0.2f * uni(rng);
+            sw = int(w * scale);
+            sh = int(h * scale);
+            sx0 = int((w - sw) * uni(rng));
+            sy0 = int((h - sh) * uni(rng));
+          }
+          bool mirror = hflip && uni(rng) < 0.5f;
+          resize_normalize(rgb.data(), w, h, sx0, sy0, sw, sh, size, mirror,
+                           batch_buf.data() + img_floats * b);
+          break;
+        }
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] { return ready.size() < max_ready || stop.load(); });
+      if (stop.load()) return;
+      ready.push(std::move(batch_buf));
+      cv_ready.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gc_loader_create(const char** paths, int n_paths, int size, int batch,
+                       int workers, uint64_t seed, int hflip, float rrc_p) {
+  if (n_paths <= 0 || size <= 0 || batch <= 0) return nullptr;
+  auto* ld = new Loader();
+  ld->paths.assign(paths, paths + n_paths);
+  ld->size = size;
+  ld->batch = batch;
+  ld->seed = seed;
+  ld->hflip = hflip != 0;
+  ld->rrc_p = rrc_p;
+  int n_threads = std::max(1, workers);
+  for (int t = 0; t < n_threads; ++t)
+    ld->threads.emplace_back(&Loader::worker, ld, t);
+  return ld;
+}
+
+int gc_loader_next(void* handle, float* out) {
+  auto* ld = static_cast<Loader*>(handle);
+  std::vector<float> buf;
+  {
+    std::unique_lock<std::mutex> lk(ld->mu);
+    ld->cv_ready.wait(lk, [&] { return !ld->ready.empty() || ld->stop.load(); });
+    if (ld->stop.load()) return 1;
+    buf = std::move(ld->ready.front());
+    ld->ready.pop();
+    ld->cv_space.notify_one();
+  }
+  std::memcpy(out, buf.data(), buf.size() * sizeof(float));
+  return 0;
+}
+
+void gc_loader_destroy(void* handle) {
+  auto* ld = static_cast<Loader*>(handle);
+  ld->stop.store(true);
+  ld->cv_ready.notify_all();
+  ld->cv_space.notify_all();
+  for (auto& t : ld->threads) t.join();
+  delete ld;
+}
+
+int gc_decode_one(const char* path, int size, float* out) {
+  std::vector<uint8_t> rgb;
+  int w, h;
+  if (!decode_jpeg(path, &rgb, &w, &h)) return 1;
+  resize_normalize(rgb.data(), w, h, 0, 0, w, h, size, false, out);
+  return 0;
+}
+
+}  // extern "C"

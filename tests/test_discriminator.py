@@ -10,7 +10,7 @@ from gan_control_tpu.models.blocks import minibatch_stddev
 
 
 def test_discriminator_shapes_32():
-    d = Discriminator(size=32)
+    d = Discriminator(size=32, max_channels=64)
     x = jnp.zeros((4, 32, 32, 3))
     params = d.init(jax.random.PRNGKey(0), x)
     adv, ver = d.apply(params, x)
@@ -19,7 +19,7 @@ def test_discriminator_shapes_32():
 
 
 def test_discriminator_verification_branch():
-    d = Discriminator(size=32, verification=True)
+    d = Discriminator(size=32, verification=True, max_channels=64)
     x = jnp.zeros((4, 32, 32, 3))
     params = d.init(jax.random.PRNGKey(0), x)
     adv, ver = d.apply(params, x)

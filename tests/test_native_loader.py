@@ -1,0 +1,56 @@
+"""Native C++ data-loader tests (skipped when libgcdata.so is not built).
+Parity: decode+resize vs PIL within tolerance; loader stream shape/range."""
+
+import numpy as np
+import pytest
+
+from gan_control_tpu.data import native_loader
+
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="libgcdata.so not built"
+)
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img{i}.jpg", quality=95)
+    return d
+
+
+def test_decode_one_matches_torch_bilinear(jpeg_dir):
+    """The native resize is half-pixel bilinear SAMPLING (torch
+    F.interpolate semantics), not PIL's antialiased filter — compare
+    against the torch oracle."""
+    import torch
+    import torch.nn.functional as F
+    from PIL import Image
+
+    path = sorted(jpeg_dir.glob("*.jpg"))[0]
+    got = native_loader.decode_one(path, 32)
+    src = np.asarray(Image.open(path).convert("RGB"), np.float32) / 127.5 - 1.0
+    t = torch.from_numpy(src.transpose(2, 0, 1))[None]
+    want = (
+        F.interpolate(t, size=(32, 32), mode="bilinear", align_corners=False)[0]
+        .numpy()
+        .transpose(1, 2, 0)
+    )
+    assert got.shape == (32, 32, 3)
+    np.testing.assert_allclose(got, want, atol=2e-2)  # same sampling, fp paths differ
+
+
+def test_native_loader_stream(jpeg_dir):
+    paths = sorted(jpeg_dir.glob("*.jpg"))
+    it = native_loader.native_loader(paths, size=32, batch_size=4, workers=2, seed=1)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.float32
+    assert b1.min() >= -1.001 and b1.max() <= 1.001
+    assert not np.allclose(b1, b2)  # stream advances
+    it.close()

@@ -1,0 +1,152 @@
+"""Phase-2 end-to-end: synthesize a tiny phase-1 model dir (args.json +
+checkpoint, the reference layout), build an attributes DataFrame, train a
+controller for a few steps, and drive Controller.gen_batch_by_controls."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_control_tpu.models.factory import build_generator, build_group_spec
+from gan_control_tpu.utils import checkpoint as ckpt_lib
+from gan_control_tpu.utils.config import write_json
+
+STYLE = 64
+SIZE = 16
+
+
+def tiny_model_config():
+    return {
+        "save_name": "tiny",
+        "model_config": {
+            "vanilla": False,
+            "img_channels": 3,
+            "split_fc": True,
+            "marge_fc": False,
+            "latent_size": STYLE,
+            "size": SIZE,
+            "n_mlp": 2,
+            "channel_multiplier": 0.25,
+            "max_channels": 32,
+            "g_noise_mode": "normal",
+        },
+        "training_config": {
+            "batch": 8,
+            "mini_batch": 8,
+            "sub_groups_dict": {
+                "orientation": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 32]},
+                "other": {"place_in_mini_batch": [4, 8], "place_in_latent": [32, 64]},
+            },
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def phase1_dir(tmp_path_factory):
+    """A saved phase-1 model dir in the reference layout."""
+    root = tmp_path_factory.mktemp("phase1")
+    config = tiny_model_config()
+    write_json(config, root / "args.json")
+    spec = build_group_spec(config)
+    gen = build_generator(config, spec)
+    z = jnp.zeros((1, STYLE))
+    params = gen.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, [z])
+    # the trainer state-dict shape: at least a 'g_ema' entry
+    ckpt_lib.save_checkpoint(root / "checkpoint", {"g_ema": params}, 1)
+    return root
+
+
+def test_inference_loads_and_generates(phase1_dir):
+    from gan_control_tpu.inference.inference import Inference
+
+    inf = Inference(phase1_dir)
+    img, latent, latent_w = inf.gen_batch(batch_size=2, rng=jax.random.PRNGKey(0))
+    assert img.shape == (2, SIZE, SIZE, 3)
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+    assert latent_w.shape[0] == 2 and latent_w.shape[-1] == STYLE
+
+    # static noise -> two calls with same latent give identical images
+    img2, _, _ = inf.gen_batch(batch_size=2, latent=latent, rng=jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=1e-6)
+
+
+def test_controller_training_and_inference(phase1_dir, tmp_path):
+    from gan_control_tpu.trainers.controller_trainer import ControllerTrainer
+    from gan_control_tpu.inference.controller import Controller
+
+    # phase-2a stand-in: random orientation + w rows
+    rng = np.random.default_rng(0)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "orientation": [rng.normal(size=3).astype(np.float32) for _ in range(n)],
+            "latents_w": [rng.normal(size=STYLE).astype(np.float32) for _ in range(n)],
+        }
+    )
+    df_path = tmp_path / "attributes_df.pkl"
+    df.to_pickle(df_path)
+
+    cfg = {
+        "save_name": "orientation_ctrl",
+        "results_dir": str(tmp_path / "controllers"),
+        "model_config": {
+            "latent_size": STYLE,
+            "size": SIZE,
+            "lr_mlp": 0.01,
+            "n_mlp": 2,
+            "in_dim": 3,
+            "mid_dim": 32,
+            "loss": "orientation_loss",
+        },
+        "training_config": {
+            "debug": True,
+            "rec_loss": "l1",
+            "generator_dir": str(phase1_dir),
+            "iter": 20,
+            "batch": 16,
+            "reg_every": 4,
+            "lr": 0.002,
+            "generate_controls": "sampled_df",
+            "sampled_df_path": str(df_path),
+            "min_evaluate_interval": 10,
+            "save_nets_interval": 10,
+            "losses": ["latent_rec"],
+        },
+    }
+    trainer = ControllerTrainer(config=cfg)
+    trainer.train(20)
+    assert trainer.metrics_history
+    assert np.isfinite(trainer.metrics_history[-1]["latent_rec_loss"])
+    assert "eval_latent_rec" in trainer.metrics_history[-1]
+
+    # the save dir is self-contained: generator copy + controller ckpts
+    cdir = trainer.save_dir.parent
+    # Controller discovers by group-name prefix within the parent dir —
+    # the trainer names its dir '<group>_<save_name>_...'
+    assert (trainer.save_dir / "generator" / "args.json").exists()
+    assert list((trainer.save_dir / "checkpoint").glob("*.ckpt"))
+
+    # build the Controller layout: controller_dir with 'generator' + group dir
+    controller_root = tmp_path / "controller_root"
+    controller_root.mkdir()
+    import shutil
+
+    shutil.copytree(trainer.save_dir / "generator", controller_root / "generator")
+    shutil.copytree(trainer.save_dir, controller_root / "orientation_ctrl",
+                    ignore=shutil.ignore_patterns("generator"))
+
+    ctrl = Controller(controller_root)
+    assert "orientation" in ctrl.fc_controls
+    orientation = jnp.asarray([[20.0, 5.0, 0.0], [-20.0, 5.0, 0.0]])
+    img, latent, latent_w = ctrl.gen_batch_by_controls(
+        batch_size=2, rng=jax.random.PRNGKey(0), orientation=orientation
+    )
+    assert img.shape == (2, SIZE, SIZE, 3)
+    # the controlled group slice equals the controller output
+    want = ctrl.generate_group_w_latent("orientation", orientation)
+    got = latent_w[:, 0, :32] if latent_w.ndim == 3 else latent_w[:, :32]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

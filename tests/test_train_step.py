@@ -52,8 +52,8 @@ def fake_predictor_features(params, images):
 def setup():
     spec = tiny_spec()
     gen = Generator(size=SIZE, style_dim=STYLE, n_mlp=2, split_fc=True,
-                    fc_groups=spec.fc_dims())
-    disc = Discriminator(size=SIZE)
+                    fc_groups=spec.fc_dims(), max_channels=32)
+    disc = Discriminator(size=SIZE, max_channels=32)
     tc = {"lr_g": 2e-3, "lr_d": 2e-3, "g_reg_every": 4, "d_reg_every": 16}
     g_tx, d_tx = make_gan_optimizers(tc)
     cfg = TrainStepConfig(batch=BATCH, mini_batch=BATCH, style_dim=STYLE)

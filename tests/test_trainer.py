@@ -1,0 +1,93 @@
+"""GeneratorTrainer end-to-end smoke on a tiny config: a few training
+iterations with synthetic data, image/checkpoint saving, metrics JSONL,
+and resume-from-checkpoint."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from gan_control_tpu.trainers.generator_trainer import GeneratorTrainer
+from gan_control_tpu.utils import checkpoint as ckpt_lib
+
+
+def tiny_config(tmp_path):
+    return {
+        "save_name": "tiny",
+        "results_dir": str(tmp_path / "results"),
+        "add_weight_to_name": False,
+        "model_config": {
+            "vanilla": False,
+            "img_channels": 3,
+            "split_fc": True,
+            "marge_fc": False,
+            "latent_size": 64,
+            "size": 16,
+            "n_mlp": 2,
+            "channel_multiplier": 0.25,
+            "max_channels": 32,
+            "g_noise_mode": "normal",
+        },
+        "training_config": {
+            "debug": True,
+            "iter": 6,
+            "start_iter": 0,
+            "batch": 8,
+            "mini_batch": 8,
+            "mini_batch_mode": "normal",
+            "augment": {"enabled": False},
+            "sub_groups_dict": {
+                "id": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 32]},
+                "other": {"place_in_mini_batch": [4, 8], "place_in_latent": [32, 64]},
+            },
+            "r1": 1,
+            "d_every": 1,
+            "g_reg_every": 4,
+            "d_reg_every": 4,
+            "lr_g": 0.002,
+            "lr_d": 0.002,
+            "g_moving_average": 100,
+            "path_regularize": 2,
+            "path_batch_shrink": 2,
+            "mixing": 0,
+            "save_images_interval": 4,
+            "save_nets_interval": 4,
+        },
+        "data_config": {"data_set_name": "synthetic", "path": ""},
+        "evaluation_config": {
+            "fid": {"enabled": False},
+            "separability": {"enabled": False},
+        },
+        "tensorboard_config": {"enabled": False},
+        "monitor_config": {"enabled": False},
+        "ckpt_config": {"enabled": False, "ckpt": "no_ckpt"},
+    }
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path):
+    cfg = tiny_config(tmp_path)
+    trainer = GeneratorTrainer(config=cfg)
+    assert (trainer.save_dir / "args.json").exists()
+
+    trainer.train(6)
+
+    ckpts = sorted((trainer.save_dir / "checkpoint").glob("*.ckpt"))
+    assert ckpts, "no checkpoints written"
+    # metrics were tracked
+    assert trainer.metrics_history
+    assert all(np.isfinite(v["g_loss"]) for v in trainer.metrics_history)
+    # sample grid + per-group matrices saved at iter 4
+    assert (trainer.save_dir / "images" / "samples" / "000004.jpg").exists()
+    assert (trainer.save_dir / "images" / "id" / "000004.jpg").exists()
+    # metrics JSONL exists
+    assert (trainer.save_dir / "metrics.jsonl").exists()
+
+    # resume: new trainer from the last checkpoint
+    cfg2 = tiny_config(tmp_path)
+    cfg2["ckpt_config"] = {"enabled": True, "ckpt": str(ckpts[-1])}
+    trainer2 = GeneratorTrainer(config=cfg2, init_dirs=False)
+    assert trainer2.start_iter == ckpt_lib.parse_step(ckpts[-1])
+    assert int(trainer2.state.step) > 0
