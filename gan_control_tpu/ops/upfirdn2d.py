@@ -131,12 +131,36 @@ def _upfirdn2d_xla(x, kernel, up_xy, down_xy, pad_xyxy):
 # ---------------------------------------------------------------------------
 
 
+_DEFAULT_TAPS = (1.0, 3.0, 3.0, 1.0)
+
+
+def _pallas_blur_wanted(kernel: jax.Array, factor: int) -> bool:
+    import os
+
+    if not (
+        os.environ.get("GANCTL_PALLAS", "0") == "1"
+        and factor == 2
+        and getattr(kernel, "ndim", 0) == 2
+        and kernel.shape == (4, 4)
+        and not isinstance(kernel, jax.core.Tracer)
+    ):
+        return False
+    want = np.outer(_DEFAULT_TAPS, _DEFAULT_TAPS)
+    want = want / want.sum()
+    return bool(np.allclose(np.asarray(kernel, np.float32), want, atol=1e-6))
+
+
 def upsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
     """FIR 2x upsampling: gain-compensated kernel, up=factor.
 
     Reference behavior: Upsample module, models/gan_model.py:71-89.
     `kernel` is the normalized FIR filter from :func:`make_kernel`.
-    """
+    With GANCTL_PALLAS=1 the separable 4-tap case runs the fused Pallas
+    kernel (ops/pallas_kernels.py)."""
+    if _pallas_blur_wanted(kernel, factor):
+        from gan_control_tpu.ops.pallas_kernels import blur2x_up
+
+        return blur2x_up(x, _DEFAULT_TAPS)
     klen = kernel.shape[0]
     p = klen - factor
     pad0 = (p + 1) // 2 + factor - 1
@@ -146,6 +170,10 @@ def upsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
 
 def downsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
     """FIR 2x downsampling (reference: Downsample, models/gan_model.py:92-110)."""
+    if _pallas_blur_wanted(kernel, factor):
+        from gan_control_tpu.ops.pallas_kernels import blur2x_down
+
+        return blur2x_down(x, _DEFAULT_TAPS)
     klen = kernel.shape[0]
     p = klen - factor
     pad0 = (p + 1) // 2

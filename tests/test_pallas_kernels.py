@@ -1,0 +1,47 @@
+"""Pallas kernel parity vs the lax reference implementations (interpret
+mode on the CPU test backend; the same kernels compile on TPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gan_control_tpu.ops.pallas_kernels import blur2x_down, blur2x_up, fused_bias_act
+from gan_control_tpu.ops.fused_act import fused_leaky_relu
+from gan_control_tpu.ops.upfirdn2d import downsample_2x, make_kernel, upsample_2x
+
+K = (1, 3, 3, 1)
+
+
+def test_fused_bias_act_parity():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    want = fused_leaky_relu(x, b)
+    got = fused_bias_act(x, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # dense features too
+    x2 = jnp.asarray(rng.standard_normal((5, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fused_bias_act(x2, b)), np.asarray(fused_leaky_relu(x2, b)),
+        rtol=1e-6,
+    )
+
+
+def test_blur2x_down_parity():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    want = downsample_2x(x, make_kernel(K))
+    got = blur2x_down(x, K)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_blur2x_up_parity():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
+    want = upsample_2x(x, make_kernel(K))
+    got = blur2x_up(x, K)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
