@@ -62,6 +62,33 @@ class DataFrameDataset:
         return len(self.controls)
 
 
+class MergedDataFrameDataset:
+    """All-attribute variant: (controls dict, latents_w) per row — for a
+    merged controller (reference datasets/merged_dataframe_dataset.py)."""
+
+    def __init__(self, df_path: str | Path, attributes: list[str],
+                 train: bool = True, eval_fraction: float = 0.1):
+        import pandas as pd
+
+        df = pd.read_pickle(df_path)
+        split = int(len(df) * (1 - eval_fraction))
+        rows = df.iloc[:split] if train else df.iloc[split:]
+        self.controls = {}
+        for attr in attributes:
+            vals = np.stack([np.asarray(v, np.float32).ravel() for v in rows[attr]])
+            if attr == "expression_q":
+                onehot = np.zeros((len(vals), NUM_EXPRESSION_CLASSES), np.float32)
+                onehot[np.arange(len(vals)), vals.astype(int).ravel()] = 1.0
+                vals = onehot
+            self.controls[attr] = vals
+        self.latents_w = np.stack(
+            [np.asarray(v, np.float32).ravel() for v in rows["latents_w"]]
+        )
+
+    def __len__(self):
+        return len(self.latents_w)
+
+
 def get_dataframe_data_loader(
     df_path: str | Path,
     attribute: str,

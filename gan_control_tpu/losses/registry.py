@@ -79,7 +79,9 @@ def build_attr_losses(
                 "(loss thresholds are calibrated for pretrained predictors)",
                 loss_name, model_path,
             )
-            p = mod.init_params(model, k)
+            # jit the init: flax init otherwise dispatches thousands of tiny
+            # ops (minutes over a remote-TPU tunnel)
+            p = jax.jit(lambda key, _m=mod, _mm=model: _m.init_params(_mm, key))(k)
         params[loss_name] = p
 
         if loss_name == "recon_3d_loss":

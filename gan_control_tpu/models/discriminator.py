@@ -62,9 +62,14 @@ class Discriminator(nn.Module):
     verification_res_split: int | None = None
     verification_dim: int = 128
     model_mode: str = "normal"
+    # rematerialize each ResBlock in the backward pass: peak activation
+    # memory drops from the whole-pyramid sum to one block (enables
+    # batch 16/chip at 512² — the reference fit only 4/GPU)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
+        block_cls = nn.remat(ResBlock) if self.remat else ResBlock
         channels = channel_table(self.channel_multiplier, self.max_channels)
         log_size = int(math.log2(self.size))
         res_split = (
@@ -90,7 +95,7 @@ class Discriminator(nn.Module):
             if self.verification and res < res_split:
                 split_blocks.append((out_ch, overwrite_padding))
             else:
-                shared = ResBlock(
+                shared = block_cls(
                     out_ch,
                     blur_kernel=self.blur_kernel,
                     overwrite_padding=overwrite_padding,
@@ -100,7 +105,7 @@ class Discriminator(nn.Module):
 
         adv = shared
         for j, (out_ch, opad) in enumerate(split_blocks):
-            adv = ResBlock(
+            adv = block_cls(
                 out_ch,
                 blur_kernel=self.blur_kernel,
                 overwrite_padding=opad,
@@ -113,7 +118,7 @@ class Discriminator(nn.Module):
 
         ver = shared
         for j, (out_ch, opad) in enumerate(split_blocks):
-            ver = ResBlock(
+            ver = block_cls(
                 out_ch,
                 blur_kernel=self.blur_kernel,
                 overwrite_padding=opad,

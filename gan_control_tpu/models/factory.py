@@ -41,6 +41,7 @@ def build_generator(config: Mapping[str, Any], spec: GroupSpec | None) -> Genera
         fc_groups=None if spec is None else spec.fc_dims(),
         model_mode=model_mode,
         noise_mode=mc.get("g_noise_mode", "normal"),
+        remat=mc.get("remat", False),
     )
 
 
@@ -56,4 +57,5 @@ def build_discriminator(config: Mapping[str, Any]) -> Discriminator:
         max_channels=mc.get("max_channels", 512),
         in_channels=mc.get("img_channels", 3),
         model_mode=model_mode,
+        remat=mc.get("remat", False),
     )

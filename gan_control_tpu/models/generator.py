@@ -178,6 +178,9 @@ class Generator(nn.Module):
     model_mode: str = "normal"
     noise_mode: str = "normal"
     dtype: jnp.dtype = jnp.float32
+    # rematerialize each synthesis conv in the backward (memory plan for
+    # large per-chip batches; see Discriminator.remat)
+    remat: bool = False
 
     @property
     def log_size(self) -> int:
@@ -218,12 +221,13 @@ class Generator(nn.Module):
         )
         self.to_rgb1 = ToRGB(self.out_channels, upsample=False)
 
+        styled_conv = nn.remat(StyledConv) if self.remat else StyledConv
         convs = []
         to_rgbs = []
         for i in range(3, self.log_size + 1):
             out_ch = channels[2**i]
             convs.append(
-                StyledConv(
+                styled_conv(
                     out_ch, 3, upsample=True, blur_kernel=self.blur_kernel,
                     noise_mode=self.noise_mode,
                 )
@@ -234,7 +238,7 @@ class Generator(nn.Module):
                 overwrite_padding = 0
                 overwrite_negative_padding = -1
             convs.append(
-                StyledConv(
+                styled_conv(
                     out_ch, 3, blur_kernel=self.blur_kernel,
                     overwrite_padding=overwrite_padding, noise_mode=self.noise_mode,
                 )

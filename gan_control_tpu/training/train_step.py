@@ -86,6 +86,9 @@ class TrainStepConfig:
     ada_target: float = 0.6
     ada_length: float = 500_000.0
     ada_enabled: bool = False
+    # re-run each frozen predictor in the backward instead of holding all
+    # of their activations at once (SURVEY.md §7.3.2 memory plan)
+    remat_predictors: bool = True
 
 
 def _attr_losses_for_batch(
@@ -94,21 +97,35 @@ def _attr_losses_for_batch(
     predictor_params: Mapping[str, Any],
     images: jax.Array,
     num_mini: int,
+    remat: bool = False,
 ):
-    """Sum of contrastive losses, averaged over mini-batch chunks."""
+    """Sum of contrastive losses, averaged over mini-batch chunks.
+
+    With ``remat`` each predictor's loss is wrapped in jax.checkpoint, so
+    the backward pass re-runs one frozen net at a time instead of holding
+    the activations of all of them simultaneously — the memory plan that
+    lets the full FFHQ loss battery (6 predictor graphs) backprop at 512²
+    on one chip (SURVEY.md §7.3.2)."""
     total = jnp.zeros((), jnp.float32)
     metrics = {}
+    mb = images.shape[0] // num_mini
     for al in attr_losses:
-        feats = al.feature_fn(predictor_params[al.name], images)
-        loss_al = jnp.zeros((), jnp.float32)
-        mb = images.shape[0] // num_mini
-        for k in range(num_mini):
-            chunk = [f[k * mb : (k + 1) * mb] for f in feats]
-            same, not_same = zip(
-                *(same_not_same_split(spec, f, al.group) for f in chunk)
-            )
-            loss_al = loss_al + contrastive_loss(al.cfg, same, not_same, al.dist_fn)
-        loss_al = loss_al / num_mini
+
+        def one_loss(pp, imgs, al=al):
+            feats = al.feature_fn(pp, imgs)
+            loss_al = jnp.zeros((), jnp.float32)
+            for k in range(num_mini):
+                chunk = [f[k * mb : (k + 1) * mb] for f in feats]
+                same, not_same = zip(
+                    *(same_not_same_split(spec, f, al.group) for f in chunk)
+                )
+                loss_al = loss_al + contrastive_loss(
+                    al.cfg, same, not_same, al.dist_fn
+                )
+            return loss_al / num_mini
+
+        fn = jax.checkpoint(one_loss) if remat else one_loss
+        loss_al = fn(predictor_params[al.name], images)
         metrics[f"g_{al.name}"] = loss_al
         total = total + loss_al
     return total, metrics
@@ -273,7 +290,8 @@ def make_train_steps(
             total = adv
             if attr_losses:
                 attr_total, attr_metrics = _attr_losses_for_batch(
-                    attr_losses, spec, predictor_params, img, num_mini
+                    attr_losses, spec, predictor_params, img, num_mini,
+                    remat=cfg.remat_predictors,
                 )
                 total = total + attr_total
                 metrics.update(attr_metrics)
