@@ -43,6 +43,16 @@ def separability_stats(dist_matrix: np.ndarray) -> dict[str, np.ndarray]:
     }
 
 
+def worst_same_pairs(dist_matrix: np.ndarray, k: int = 8) -> np.ndarray:
+    """Indices of the k same-pairs with the LARGEST distance — the failure
+    cases the reference saves as 'bucket' images (tracker.py:303-311).
+    Returns pair indices i (signature i <-> query i)."""
+    same = np.diag(np.asarray(dist_matrix))
+    k = min(k, len(same))
+    idx = np.argpartition(-same, k - 1)[:k]
+    return idx[np.argsort(-same[idx])]
+
+
 def calc_separability(
     generate_fn: Callable[[jax.Array], jax.Array],
     feature_fn: Callable[[jax.Array], Sequence[jax.Array]],

@@ -157,8 +157,14 @@ class Inference:
         static_noise: bool = True,
         truncation: float = 1.0,
         rng: jax.Array | None = None,
+        **group_overrides,
     ):
-        """Returns (images, latent_z_or_w_in, latent_w_plus)."""
+        """Returns (images, latent_z_or_w_in, latent_w_plus).
+
+        ``group_overrides``: with ``input_is_latent=True``, pass
+        ``<group>='random'`` to re-randomize that group's w slice from a
+        fresh mapped z (reference :62-68 — implementing the intended slice
+        semantics, not its `[:, a, a]` indexing typo)."""
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         style_dim = self.config["model_config"].get("latent_size", 512)
@@ -166,6 +172,25 @@ class Inference:
         if latent is None:
             latent = jax.random.normal(k_z, (batch_size, style_dim))
         latent = jnp.asarray(latent)
+        if input_is_latent and group_overrides:
+            from gan_control_tpu.latent.groups import insert_group_latent
+
+            for group_key, val in group_overrides.items():
+                self.check_valid_group(group_key)
+                if isinstance(val, str) and val == "random":
+                    rng, k_g = jax.random.split(rng)
+                    fresh_w = self.model.apply(
+                        self.params,
+                        jax.random.normal(k_g, (latent.shape[0], style_dim)),
+                        method="map_latent",
+                    )
+                    g = self.spec.group(group_key)
+                    latent = insert_group_latent(
+                        self.spec,
+                        latent,
+                        fresh_w[:, g.latent_start : g.latent_end],
+                        group_key,
+                    )
 
         injection_noise = None
         if static_noise:

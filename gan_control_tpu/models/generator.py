@@ -128,18 +128,20 @@ class SplitMapping(nn.Module):
 
 
 class VAEMapping(nn.Module):
-    """VAE-style embedding alternative (reference: VAE, :438-474)."""
+    """VAE-style embedding alternative (reference: VAE, :438-474; the
+    reference hardcodes 512 — parameterized here by style_dim)."""
 
     bottleneck_size: int = 256
     lr_mlp: float = 0.01
+    style_dim: int = 512
 
     def setup(self):
         kw = dict(lr_mul=self.lr_mlp, activation="fused_lrelu")
-        self.shared_in = [EqualLinear(512, **kw) for _ in range(3)]
+        self.shared_in = [EqualLinear(self.style_dim, **kw) for _ in range(3)]
         self.to_mu = EqualLinear(self.bottleneck_size, **kw)
         self.to_sigma = EqualLinear(self.bottleneck_size, **kw)
-        self.to_sample = EqualLinear(512, **kw)
-        self.shared_out = [EqualLinear(512, **kw) for _ in range(3)]
+        self.to_sample = EqualLinear(self.style_dim, **kw)
+        self.shared_out = [EqualLinear(self.style_dim, **kw) for _ in range(3)]
 
     def encode(self, x):
         for layer in self.shared_in:
@@ -200,7 +202,7 @@ class Generator(nn.Module):
         channels = channel_table(self.channel_multiplier, self.max_channels)
 
         if self.vae:
-            self.style = VAEMapping(self.bottleneck_size, self.lr_mlp)
+            self.style = VAEMapping(self.bottleneck_size, self.lr_mlp, self.style_dim)
         elif self.split_fc:
             assert self.fc_groups, "split_fc requires fc_groups"
             self.style = SplitMapping(self.fc_groups, self.n_mlp, self.lr_mlp)

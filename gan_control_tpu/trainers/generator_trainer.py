@@ -268,6 +268,22 @@ class GeneratorTrainer:
         return m
 
     def train(self, num_iters: int | None = None):
+        import signal
+
+        # preemption save: SIGTERM/SIGINT checkpoint before exiting
+        # (extends the reference's resume-only story, SURVEY.md §5.3)
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            self._preempted = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_term)
+            except ValueError:  # non-main thread
+                pass
+
         tc = self.tc
         total = num_iters if num_iters is not None else tc["iter"]
         debug = tc.get("debug", False)
@@ -297,9 +313,17 @@ class GeneratorTrainer:
                 if i % save_nets_interval == 0:
                     self.save_nets(i)
             self.evaluate(i)
+            if self._preempted:
+                _log.warning("preemption signal received — checkpointing at iter %d", i)
+                if self.save_dir:
+                    jax.block_until_ready(self.state)
+                    self.save_nets(i + 1)
+                break
 
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         jax.block_until_ready(self.state)
-        if self.save_dir:
+        if self.save_dir and not self._preempted:
             self.save_nets(total)
 
     # -- periodic evaluation (reference end_iter_update, :721-748) ----------

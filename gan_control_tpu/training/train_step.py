@@ -197,10 +197,18 @@ def make_train_steps(
                 jnp.concatenate([arranged[k][i] for k in range(num_mini)], axis=0)
                 for i in range(len(noises))
             ]
+        inject_index = None
+        if len(styles) > 1:
+            # random mixing crossover layer (reference gan_model.py:763-764)
+            rng, k_mix = jax.random.split(rng)
+            inject_index = jax.random.randint(
+                k_mix, (), 1, generator.n_latent
+            )
         img, latent = generator.apply(
             g_params,
             styles,
             return_latents=True,
+            inject_index=inject_index,
             noise=inject_noise,
             rngs={"noise": rng},
         )

@@ -91,3 +91,11 @@ def test_inception_feature_shape():
     feats = InceptionV3Features().apply(params, x)
     assert feats.shape == (1, 2048)
     assert np.all(np.isfinite(np.asarray(feats)))
+
+
+def test_worst_same_pairs():
+    from gan_control_tpu.evaluation.separability import worst_same_pairs
+
+    d = np.diag([0.1, 0.9, 0.5, 0.7])
+    idx = worst_same_pairs(d, k=2)
+    np.testing.assert_array_equal(idx, [1, 3])

@@ -150,3 +150,22 @@ def test_controller_training_and_inference(phase1_dir, tmp_path):
     want = ctrl.generate_group_w_latent("orientation", orientation)
     got = latent_w[:, 0, :32] if latent_w.ndim == 3 else latent_w[:, :32]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_gen_batch_group_randomize(phase1_dir):
+    """input_is_latent + <group>='random' re-randomizes only that group's
+    w slice (the reference's intended :62-68 semantics)."""
+    from gan_control_tpu.inference.inference import Inference
+
+    inf = Inference(phase1_dir)
+    w = inf.model.apply(inf.params, jnp.zeros((2, STYLE)), method="map_latent")
+    img, latent, _ = inf.gen_batch(
+        batch_size=2, latent=w, input_is_latent=True,
+        rng=jax.random.PRNGKey(0), orientation="random",
+    )
+    latent = np.asarray(latent)
+    w = np.asarray(w)
+    g = inf.spec.group("orientation")
+    assert not np.allclose(latent[:, g.latent_start:g.latent_end],
+                           w[:, g.latent_start:g.latent_end])
+    np.testing.assert_allclose(latent[:, g.latent_end:], w[:, g.latent_end:])

@@ -119,6 +119,18 @@ def test_full_training_cycle(setup):
     assert float(path_metrics["g_path_length"]) > 0
 
 
+def test_style_mixing_g_step(setup):
+    """Two z's -> random inject_index mixing inside the jitted step
+    (reference gan_model.py:763-764 + mixing_noise)."""
+    spec, gen, disc, steps, state = setup
+    z1 = jax.random.normal(jax.random.PRNGKey(3), (BATCH, STYLE))
+    z2 = jax.random.normal(jax.random.PRNGKey(4), (BATCH, STYLE))
+    pred_params = {"embedding_loss": {}}
+    g_step = jax.jit(steps["g_step"])
+    state2, m = g_step(state, (z1, z2), pred_params)
+    assert jnp.isfinite(m["g_loss"])
+
+
 def test_data_sharded_step_matches_single_device(setup):
     """The SPMD answer to nn.DataParallel: same math, batch sharded over the
     mesh. Verifies numerical equivalence of the d_step on 8 devices vs 1."""
