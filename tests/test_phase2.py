@@ -169,3 +169,48 @@ def test_gen_batch_group_randomize(phase1_dir):
     assert not np.allclose(latent[:, g.latent_start:g.latent_end],
                            w[:, g.latent_start:g.latent_end])
     np.testing.assert_allclose(latent[:, g.latent_end:], w[:, g.latent_end:])
+
+
+def test_controller_attribute_rec(phase1_dir, tmp_path):
+    """attribute_rec: the controller loss backprops through the frozen G
+    and a predictor (fake here) to match target controls
+    (reference controller_trainer.py:231-239)."""
+    import pandas as pd
+    from gan_control_tpu.trainers.controller_trainer import ControllerTrainer
+
+    rng = np.random.default_rng(1)
+    n = 100
+    df = pd.DataFrame(
+        {
+            "orientation": [rng.normal(size=3).astype(np.float32) for _ in range(n)],
+            "latents_w": [rng.normal(size=STYLE).astype(np.float32) for _ in range(n)],
+        }
+    )
+    df_path = tmp_path / "df.pkl"
+    df.to_pickle(df_path)
+
+    def fake_predict(images):
+        # differentiable image -> 3-vector "orientation"
+        return jnp.mean(images, axis=(1, 2)) * 100.0
+
+    cfg = {
+        "save_name": "attr_rec",
+        "results_dir": str(tmp_path / "c"),
+        "model_config": {"latent_size": STYLE, "size": SIZE, "lr_mlp": 0.01,
+                         "n_mlp": 2, "in_dim": 3, "mid_dim": 32,
+                         "loss": "orientation_loss"},
+        "training_config": {
+            "rec_loss": "l1", "generator_dir": str(phase1_dir), "iter": 5,
+            "batch": 8, "reg_every": 4, "lr": 0.002,
+            "generate_controls": "sampled_df", "sampled_df_path": str(df_path),
+            "min_evaluate_interval": 100, "save_nets_interval": 100,
+            "losses": ["latent_rec", "attribute_rec"], "attribute_rec_w": 0.01,
+        },
+    }
+    tr = ControllerTrainer(
+        config=cfg, init_dirs=False, predict_fn=fake_predict,
+        controller_criterion=lambda p, t: jnp.mean(jnp.abs(p - t)),
+    )
+    tr.train(5)
+    assert tr.metrics_history
+    assert np.isfinite(tr.metrics_history[-1]["attribute_loss"])
