@@ -29,7 +29,7 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
-    batch = 64 if on_tpu else 2
+    batch = 128 if on_tpu else 2
     size = 512 if on_tpu else 64
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
