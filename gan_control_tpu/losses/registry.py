@@ -28,7 +28,13 @@ from typing import Any
 
 import jax
 
-from gan_control_tpu.losses.contrastive import ContrastiveConfig
+from gan_control_tpu.losses.contrastive import (
+    ContrastiveConfig,
+    pairwise_hair_color,
+    pairwise_l1,
+    pairwise_mse_gram,
+    pairwise_sq_l2,
+)
 from gan_control_tpu.training.train_step import AttributeLossSpec
 from gan_control_tpu.utils.logging_utils import get_logger
 
@@ -48,6 +54,20 @@ PREDICTOR_MODULES = {
 }
 
 RECON_SUB_LOSSES = ("id", "ex", "tex", "angles", "gamma", "xy", "z")
+
+# cross-set distance per loss (the criterion's (signatures, queries) form,
+# used by separability evaluation — loss_model.calc_distances_list)
+PAIRWISE_DIST = {
+    "embedding_loss": pairwise_sq_l2,
+    "dog_id_loss": pairwise_sq_l2,
+    "orientation_loss": pairwise_l1,
+    "age_loss": pairwise_l1,
+    "expression_loss": pairwise_l1,
+    "recon_3d_loss": pairwise_l1,
+    "classification_loss": pairwise_l1,
+    "style_loss": pairwise_mse_gram,
+    "hair_loss": pairwise_hair_color,
+}
 
 
 def _load_predictor(name: str):
@@ -107,6 +127,7 @@ def build_attr_losses(
                         cfg=ContrastiveConfig.from_json(sub_block),
                         feature_fn=make_feature_fn(),
                         dist_fn=mod.last_layer_dist,
+                        pair_dist_fn=pairwise_l1,
                     )
                 )
             continue
@@ -123,6 +144,7 @@ def build_attr_losses(
                 cfg=ContrastiveConfig.from_json(block),
                 feature_fn=make_feature_fn(),
                 dist_fn=mod.last_layer_dist,
+                pair_dist_fn=PAIRWISE_DIST.get(loss_name, pairwise_sq_l2),
             )
         )
 

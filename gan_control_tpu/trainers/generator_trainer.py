@@ -395,10 +395,11 @@ class GeneratorTrainer:
             if al.name not in losses:
                 continue
             group = self.spec.group(al.group)
+            pair_dist = al.pair_dist_fn or C.pairwise_sq_l2
             stats = calc_separability(
                 gen,
                 lambda imgs, al=al: al.feature_fn(self.predictor_params[al.name], imgs),
-                lambda s, q: C.pairwise_sq_l2(s, q),
+                pair_dist,
                 jax.random.PRNGKey(i),
                 num_of_samples=n,
                 same_chunk=(group.latent_start, group.latent_end),

@@ -66,6 +66,9 @@ class AttributeLossSpec:
     cfg: ContrastiveConfig
     feature_fn: Callable[[Any, jax.Array], Sequence[jax.Array]]
     dist_fn: Callable[[jax.Array], jax.Array]
+    # cross-set variant d(signatures, queries) for separability evaluation;
+    # defaults to None (evaluator falls back to squared-L2)
+    pair_dist_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None
 
 
 @dataclasses.dataclass(frozen=True)
