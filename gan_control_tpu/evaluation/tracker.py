@@ -52,6 +52,25 @@ class Tracker:
 
     # -- timing (reference :61-79) -------------------------------------------
 
+    # -- profiling (§5.1: the reference had wall-clock only; full jax
+    # profiler traces are one call away) --------------------------------
+
+    def start_profile(self, n_steps_hint: int = 5):
+        """Begin a jax.profiler trace into <save_dir>/profile."""
+        import jax
+
+        if self.save_dir is None:
+            return
+        jax.profiler.start_trace(str(self.save_dir / "profile"))
+        self._profiling = True
+
+    def stop_profile(self):
+        import jax
+
+        if getattr(self, "_profiling", False):
+            jax.profiler.stop_trace()
+            self._profiling = False
+
     def mark_start_iter(self):
         now = time.time()
         if self._last_start is not None:
