@@ -214,3 +214,23 @@ def test_controller_attribute_rec(phase1_dir, tmp_path):
     tr.train(5)
     assert tr.metrics_history
     assert np.isfinite(tr.metrics_history[-1]["attribute_loss"])
+
+
+def test_make_attributes_df_cli(phase1_dir, tmp_path, monkeypatch):
+    """Phase-2a CLI end-to-end on the tiny model (no predictors enabled in
+    its config -> latents/latents_w columns only)."""
+    import sys
+    import pandas as pd
+    import make_attributes_df as cli
+
+    out = tmp_path / "df.pkl"
+    monkeypatch.setattr(sys, "argv", [
+        "make_attributes_df.py", "--model_dir", str(phase1_dir),
+        "--batch_size", "4", "--number_of_samples", "8",
+        "--save_path", str(out),
+    ])
+    cli.main()
+    df = pd.read_pickle(out)
+    assert len(df) == 8
+    assert df.iloc[0]["latents"].shape == (STYLE,)
+    assert df.iloc[0]["latents_w"].shape == (STYLE,)
