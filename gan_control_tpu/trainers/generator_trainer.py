@@ -158,6 +158,32 @@ class GeneratorTrainer:
         self._g_step = jax.jit(steps["g_step"], **donate)
         self._g_reg_step = jax.jit(steps["g_reg_step"], **donate)
 
+        # mini_batch_mode 'random' (reference RandomMiniBatchUtils): per-step
+        # random group slot counts/placements. Arbitrary per-step placements
+        # would recompile the jitted step each iteration, so a bounded pool
+        # of placements is pre-sampled and rotated — each compiles once and
+        # together they cover the count variation the mode exists for.
+        self._random_g_steps = None
+        if self.random_mode and self.spec is not None:
+            pool = tc.get("random_placement_pool", 4)
+            host_rng = np.random.default_rng(tc.get("seed", 0) + 17)
+            self._random_specs = [
+                randomized_spec(self.spec, host_rng) for _ in range(pool)
+            ]
+            self._random_g_steps = []
+            for rspec in self._random_specs:
+                rsteps = make_train_steps(
+                    self.generator,
+                    self.discriminator,
+                    self.step_cfg,
+                    spec=rspec,
+                    attr_losses=self.attr_losses,
+                    g_tx=self.g_tx,
+                    d_tx=self.d_tx,
+                    augment_fn=augment_fn,
+                )
+                self._random_g_steps.append(jax.jit(rsteps["g_step"], **donate))
+
         # state (fresh or resumed)
         self.state = init_gan_state(
             self.generator,
@@ -238,7 +264,13 @@ class GeneratorTrainer:
             self.state, m = self._d_reg_step(self.state, real)
             metrics.update(m)
 
-        self.state, m = self._g_step(
+        if self._random_g_steps is not None:
+            g_step = self._random_g_steps[
+                self._host_rng.integers(len(self._random_g_steps))
+            ]
+        else:
+            g_step = self._g_step
+        self.state, m = g_step(
             self.state, self._sample_z(tc["batch"]), self.predictor_params
         )
         metrics.update(m)
@@ -346,6 +378,72 @@ class GeneratorTrainer:
             and i % self.separability_cfg.get("separability_interval", 30000) == 0
         ):
             self.evaluate_separability(i)
+        ec = self.config.get("evaluation_config", {})
+        for kind, loss_name in (("orientation_hist", "orientation_loss"),
+                                ("expression_bar", "expression_loss")):
+            kc = ec.get(kind, {})
+            if (
+                kc.get("enabled")
+                and self.save_dir is not None
+                and i > self.start_iter
+                and i % kc.get(f"{kind}_interval", 30000) == 0
+            ):
+                self.evaluate_attribute_hist(i, kind, loss_name, kc)
+
+    def evaluate_attribute_hist(self, i: int, kind: str, loss_name: str, kc: dict):
+        """Orientation histogram / expression class bar over generated
+        samples (reference tracker.py:156-183 + evaluation/orientation.py,
+        expression.py)."""
+        al = next((a for a in self.attr_losses if a.name == loss_name), None)
+        if al is None:
+            return
+        from gan_control_tpu.losses.registry import PREDICTOR_MODULES, _load_predictor
+        from gan_control_tpu.utils.plotting import plot_bar, plot_hist
+
+        n = 100 if self.tc.get("debug") else kc.get("num_of_samples", 2000)
+        batch = self.tc["batch"]
+        g_ema = self.state.g_ema
+        mod = _load_predictor(PREDICTOR_MODULES[loss_name])
+
+        @jax.jit
+        def gen(z):
+            img, _ = self.generator.apply(
+                g_ema, [z], rngs={"noise": jax.random.PRNGKey(0)}
+            )
+            return img
+
+        preds = []
+        rng = jax.random.PRNGKey(1000 + i)
+        # the registry stores module-level model configs inside feature_fn
+        # closures; predict needs (model, params) — rebuild the model here
+        model = mod.make_model(self.tc.get(loss_name, {}))
+        for s in range(0, n, batch):
+            rng, k = jax.random.split(rng)
+            z = jax.random.normal(k, (batch, self.step_cfg.style_dim))
+            preds.append(
+                np.asarray(mod.predict(model, self.predictor_params[loss_name], gen(z)))
+            )
+        preds = np.concatenate(preds, axis=0)[:n]
+        gdir = Path(self.save_dir) / "graphs"
+        if kind == "orientation_hist":
+            plot_hist(
+                [preds[:, 0], preds[:, 1], preds[:, 2]],
+                title=f"orientation @ iter {i}",
+                labels=["yaw", "pitch", "roll"],
+                xlabel="degrees",
+                save_path=gdir / f"orientation_{i:06d}.jpg",
+            )
+            self.tracker.evaluation_dict["orientation/yaw_std"] = float(preds[:, 0].std())
+        else:
+            counts = np.bincount(preds.astype(int), minlength=8)
+            from gan_control_tpu.losses.predictors.esr9 import EXPRESSION_CLASSES
+
+            plot_bar(
+                counts,
+                list(EXPRESSION_CLASSES),
+                title=f"expression classes @ iter {i}",
+                save_path=gdir / f"expression_{i:06d}.jpg",
+            )
 
     def evaluate_fid(self) -> float | None:
         """50K-sample FID vs the configured real-set inception stats

@@ -91,3 +91,26 @@ def test_trainer_end_to_end(tmp_path):
     trainer2 = GeneratorTrainer(config=cfg2, init_dirs=False)
     assert trainer2.start_iter == ckpt_lib.parse_step(ckpts[-1])
     assert int(trainer2.state.step) > 0
+
+
+@pytest.mark.slow
+def test_trainer_random_mini_batch_mode(tmp_path):
+    """mini_batch_mode='random': per-step group placements drawn from a
+    pre-compiled pool (the static-shape answer to RandomMiniBatchUtils)."""
+    cfg = tiny_config(tmp_path)
+    cfg["training_config"]["mini_batch_mode"] = "random"
+    cfg["training_config"]["random_placement_pool"] = 2
+    cfg["training_config"]["iter"] = 3
+    for g in cfg["training_config"]["sub_groups_dict"].values():
+        g["count_in_mini_bach"] = [2, 6]
+    trainer = GeneratorTrainer(config=cfg, init_dirs=False)
+    assert trainer._random_g_steps is not None
+    assert len(trainer._random_g_steps) == 2
+    # pool placements are valid specs over the same latent groups
+    for rspec in trainer._random_specs:
+        assert sum(g.mb_end - g.mb_start for g in rspec.groups) == 8
+    for i in range(3):
+        m = trainer.one_iteration(i)
+    import jax as _jax
+    _jax.block_until_ready(m)
+    assert np.isfinite(float(m["g_loss"]))
