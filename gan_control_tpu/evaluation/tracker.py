@@ -32,7 +32,12 @@ class Tracker:
         save_dir: str | Path | None = None,
         tensorboard: bool = False,
         rolling: int = 200,
+        csv_monitor: bool = False,
     ):
+        # csv_monitor: the reference's monitor_config hook references a CSV
+        # monitor it never constructs (generator_trainer.py:732-733 would
+        # crash if enabled); here it works.
+        self._csv = csv_monitor
         self.save_dir = Path(save_dir) if save_dir else None
         self.iter_times: deque[float] = deque(maxlen=rolling)
         self.min_iter_time = float("inf")
@@ -126,6 +131,16 @@ class Tracker:
         if self.save_dir is not None:
             with open(self.save_dir / "metrics.jsonl", "a") as f:
                 f.write(json.dumps(record) + "\n")
+            if self._csv:
+                import csv
+
+                path = self.save_dir / "monitor.csv"
+                new = not path.exists()
+                with open(path, "a", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=sorted(record))
+                    if new:
+                        w.writeheader()
+                    w.writerow({k: record.get(k, "") for k in sorted(record)})
         if self._writer is not None:
             for k, v in record.items():
                 if isinstance(v, (int, float)) and k != "iter":

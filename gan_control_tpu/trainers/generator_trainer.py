@@ -232,6 +232,7 @@ class GeneratorTrainer:
             save_dir=self.save_dir,
             tensorboard=self.config.get("tensorboard_config", {}).get("enabled", False)
             and self.save_dir is not None,
+            csv_monitor=self.config.get("monitor_config", {}).get("enabled", False),
         )
         ec = self.config.get("evaluation_config", {})
         self.fid_cfg = ec.get("fid", {"enabled": False})
