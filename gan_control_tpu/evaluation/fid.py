@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gan_control_tpu.evaluation.inception import InceptionV3Features, init_params
+from gan_control_tpu.evaluation.inception import InceptionV3Features
 
 
 def make_feature_fn(params):

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gan_control_tpu.latent.groups import GroupSpec
 from gan_control_tpu.models.factory import build_generator, build_group_spec
 from gan_control_tpu.utils import checkpoint as ckpt_lib
 from gan_control_tpu.utils.config import read_json

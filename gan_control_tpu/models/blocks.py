@@ -9,12 +9,10 @@ and explicit PRNG threading instead of implicit CUDA randomness.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gan_control_tpu.ops import (
     fused_leaky_relu,

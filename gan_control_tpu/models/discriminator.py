@@ -18,7 +18,6 @@ import math
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from gan_control_tpu.models.blocks import (
     ConvLayer,

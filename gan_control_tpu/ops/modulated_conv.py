@@ -39,11 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from gan_control_tpu.ops.upfirdn2d import (
-    blur,
-    blur_pad_downsample,
-    blur_pad_upsample,
-)
+from gan_control_tpu.ops.upfirdn2d import blur_pad_downsample, blur_pad_upsample
 
 _DEMOD_EPS = 1e-8
 

@@ -26,16 +26,13 @@ closed-over constants on device."""
 
 from __future__ import annotations
 
-import dataclasses
 import shutil
-import time
 from pathlib import Path
 from typing import Any, Callable, Mapping
 
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from gan_control_tpu.data.dataframe import attribute_column_for, get_dataframe_data_loader

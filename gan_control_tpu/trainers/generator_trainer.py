@@ -19,8 +19,6 @@ numpy batches to device and reads back scalar metrics at logging intervals
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import time
 from pathlib import Path
 from typing import Any, Iterator, Mapping, Sequence
@@ -37,11 +35,7 @@ from gan_control_tpu.models.factory import (
     build_generator,
     build_group_spec,
 )
-from gan_control_tpu.training.state import (
-    GANTrainState,
-    init_gan_state,
-    make_gan_optimizers,
-)
+from gan_control_tpu.training.state import init_gan_state, make_gan_optimizers
 from gan_control_tpu.training.train_step import (
     AttributeLossSpec,
     TrainStepConfig,

@@ -34,7 +34,6 @@ updating their params — no stop_gradient).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Mapping, Sequence
 
 import jax

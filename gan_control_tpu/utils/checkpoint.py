@@ -23,7 +23,6 @@ from typing import Any
 
 import flax.serialization
 import jax
-import numpy as np
 
 
 def save_checkpoint(ckpt_dir: str | Path, state: Any, step: int, name: str | None = None) -> Path:

@@ -18,7 +18,6 @@ Reference behaviors reproduced:
 from __future__ import annotations
 
 import json
-import os
 import time
 from pathlib import Path
 from typing import Any, Mapping
