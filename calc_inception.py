@@ -13,6 +13,20 @@ Usage:
 import argparse
 
 
+def _setup_cache():
+    """Persistent XLA compile cache (compiles over a remote-TPU link are
+    minutes each; the cache makes reruns instant)."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("GANCTL_COMPILE_CACHE", "/tmp/gan_control_compile_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--path", type=str, required=True)
@@ -22,6 +36,7 @@ def main():
     parser.add_argument("--save_path", type=str, required=True)
     parser.add_argument("--inception_weights", type=str, default=None)
     args = parser.parse_args()
+    _setup_cache()
 
     import numpy as np
     import jax

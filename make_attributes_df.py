@@ -21,6 +21,20 @@ import argparse
 import os
 
 
+def _setup_cache():
+    """Persistent XLA compile cache (compiles over a remote-TPU link are
+    minutes each; the cache makes reruns instant)."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("GANCTL_COMPILE_CACHE", "/tmp/gan_control_compile_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", type=str, required=True)
@@ -31,6 +45,7 @@ def main():
                         help="3D-align faces before the R-Net (needs the "
                         "face-alignment port; default off)")
     args = parser.parse_args()
+    _setup_cache()
 
     import numpy as np
     import pandas as pd
