@@ -75,7 +75,17 @@ def main():
             params = pm.convert_torch_weights(m, model_path)
         else:
             params = pm.init_params(m, rng)
-        mods[loss] = (pm, m, params)
+        # jit predict/features once per predictor: unjitted flax apply
+        # dispatches thousands of tiny ops (catastrophic over a remote link)
+        # params must be a traced ARGUMENT, not a closure constant — a
+        # closed-over 500MB weight tree gets serialized into the compile
+        # request (HTTP 413 over a remote-compile link)
+        if loss == "recon_3d_loss":
+            raw = jax.jit(lambda p, imgs, _pm=pm, _m=m: _pm.features(_m, p, imgs)[-1])
+        else:
+            raw = jax.jit(lambda p, imgs, _pm=pm, _m=m: _pm.predict(_m, p, imgs))
+        fn = (lambda imgs, _raw=raw, _p=params: _raw(_p, imgs))
+        mods[loss] = (pm, m, params, fn)
 
     align_fn = None
     if args.align_3d:
@@ -97,29 +107,24 @@ def main():
 
         cols = {}
         if "age_loss" in mods:
-            pm, m, p = mods["age_loss"]
-            cols["age"] = np.asarray(pm.predict(m, p, out))
+            cols["age"] = np.asarray(mods["age_loss"][3](out))
         if "orientation_loss" in mods:
-            pm, m, p = mods["orientation_loss"]
-            cols["orientation"] = np.asarray(pm.predict(m, p, out))
+            cols["orientation"] = np.asarray(mods["orientation_loss"][3](out))
         if "expression_loss" in mods:
-            pm, m, p = mods["expression_loss"]
-            cols["expression_q"] = np.asarray(pm.predict(m, p, out))
+            cols["expression_q"] = np.asarray(mods["expression_loss"][3](out))
         if "hair_loss" in mods:
-            pm, m, p = mods["hair_loss"]
-            cols["hair"] = np.asarray(pm.predict(m, p, out))
+            cols["hair"] = np.asarray(mods["hair_loss"][3](out))
         recon_in = out
         if align_fn is not None:
             recon_in = align_fn(out)
         if "recon_3d_loss" in mods:
-            pm, m, p = mods["recon_3d_loss"]
-            vec = pm.features(m, p, recon_in)[-1]
+            pm = mods["recon_3d_loss"][0]
+            vec = mods["recon_3d_loss"][3](recon_in)
             cols["gamma3d"] = np.asarray(pm.extract_feature(vec, "gamma"))
             cols["expression3d"] = np.asarray(pm.extract_feature(vec, "ex"))
             cols["orientation3d"] = np.asarray(pm.extract_feature(vec, "angles"))
         if "embedding_loss" in mods:
-            pm, m, p = mods["embedding_loss"]
-            cols["arcface_emb"] = np.asarray(pm.predict(m, p, recon_in))
+            cols["arcface_emb"] = np.asarray(mods["embedding_loss"][3](recon_in))
 
         for i in range(args.batch_size):
             row = {"latents": latent_np[i], "latents_w": w_np[i]}
