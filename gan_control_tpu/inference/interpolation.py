@@ -62,9 +62,12 @@ def interpolate_by_group(
     ]
 
     @jax.jit
-    def gen(z):
-        img, _ = model.apply(params, [z], rngs={"noise": k_noise})
+    def _gen(p, z):
+        img, _ = model.apply(p, [z], rngs={"noise": k_noise})
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    def gen(z):
+        return _gen(params, z)
 
     freeze_group, freeze_not_group = [], []
     z1 = z_base

@@ -168,7 +168,7 @@ class ControllerTrainer:
     def _make_step(self):
         s, e = self.group_slice
 
-        def step(state: ControllerState, controls, org_latent, rng):
+        def step(state: ControllerState, controls, org_latent, rng, g_params):
             def loss_fn(params):
                 pred_latent = self.controller.apply(params, controls)
                 metrics = {}
@@ -178,7 +178,7 @@ class ControllerTrainer:
                 if self.use_attribute_rec:
                     latent = org_latent.at[:, s:e].set(pred_latent)
                     img, _ = self.generator.apply(
-                        self.g_params, [latent], input_is_latent=True,
+                        g_params, [latent], input_is_latent=True,
                         rngs={"noise": rng},
                     )
                     pred_attr = self.predict_fn(img)
@@ -222,7 +222,7 @@ class ControllerTrainer:
             controls, w = next(self.loader)
             rng, k = jax.random.split(rng)
             self.state, metrics = self._step_fn(
-                self.state, jnp.asarray(controls), jnp.asarray(w), k
+                self.state, jnp.asarray(controls), jnp.asarray(w), k, self.g_params
             )
             if i % eval_interval == 0:
                 vals = {k2: float(v) for k2, v in metrics.items()}

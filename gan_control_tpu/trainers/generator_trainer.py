@@ -400,23 +400,24 @@ class GeneratorTrainer:
         g_ema = self.state.g_ema
         mod = _load_predictor(PREDICTOR_MODULES[loss_name])
 
+        # params are traced ARGUMENTS (closed-over weight trees get baked
+        # into the compile payload — slow/oversized on remote-compile links)
+        model = mod.make_model(self.tc.get(loss_name, {}))
+
         @jax.jit
-        def gen(z):
-            img, _ = self.generator.apply(
-                g_ema, [z], rngs={"noise": jax.random.PRNGKey(0)}
-            )
-            return img
+        def gen_and_predict(gp, pp, z):
+            img, _ = self.generator.apply(gp, [z], rngs={"noise": jax.random.PRNGKey(0)})
+            return mod.predict(model, pp, img)
 
         preds = []
         rng = jax.random.PRNGKey(1000 + i)
-        # the registry stores module-level model configs inside feature_fn
-        # closures; predict needs (model, params) — rebuild the model here
-        model = mod.make_model(self.tc.get(loss_name, {}))
         for s in range(0, n, batch):
             rng, k = jax.random.split(rng)
             z = jax.random.normal(k, (batch, self.step_cfg.style_dim))
             preds.append(
-                np.asarray(mod.predict(model, self.predictor_params[loss_name], gen(z)))
+                np.asarray(
+                    gen_and_predict(g_ema, self.predictor_params[loss_name], z)
+                )
             )
         preds = np.concatenate(preds, axis=0)[:n]
         gdir = Path(self.save_dir) / "graphs"
@@ -460,11 +461,14 @@ class GeneratorTrainer:
         g_ema = self.state.g_ema
 
         @jax.jit
-        def gen_batch(rng):
+        def _gen_batch(gp, rng):
             k1, k2 = jax.random.split(rng)
             z = jax.random.normal(k1, (batch, self.step_cfg.style_dim))
-            img, _ = self.generator.apply(g_ema, [z], rngs={"noise": k2})
+            img, _ = self.generator.apply(gp, [z], rngs={"noise": k2})
             return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+        def gen_batch(rng):
+            return _gen_batch(g_ema, rng)
 
         n = 500 if self.tc.get("debug") else self.fid_cfg.get("num_of_samples", 50000)
         return fid_lib.evaluate_fid(
@@ -480,9 +484,12 @@ class GeneratorTrainer:
         g_ema = self.state.g_ema
 
         @jax.jit
-        def gen(z):
-            img, _ = self.generator.apply(g_ema, [z], rngs={"noise": jax.random.PRNGKey(0)})
+        def _gen(gp, z):
+            img, _ = self.generator.apply(gp, [z], rngs={"noise": jax.random.PRNGKey(0)})
             return img
+
+        def gen(z):
+            return _gen(g_ema, z)
 
         for al in self.attr_losses:
             if al.name not in losses:
