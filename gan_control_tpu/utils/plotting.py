@@ -88,3 +88,26 @@ def plot_bar(
         fig.savefig(save_path, dpi=100, bbox_inches="tight")
     plt.close(fig)
     return save_path
+
+
+def plot_error_bar(
+    means: Sequence[float],
+    stds: Sequence[float],
+    labels: Sequence[str],
+    title: str = "",
+    ylabel: str = "",
+    save_path: str | Path | None = None,
+):
+    """Mean +/- std error-bar plot (reference
+    evaluation/gan_evaluation/error_bar_plot.py)."""
+    fig, ax = plt.subplots(figsize=(8, 5))
+    x = np.arange(len(means))
+    ax.errorbar(x, means, yerr=stds, fmt="o", capsize=4)
+    ax.set_xticks(x)
+    ax.set_xticklabels(labels, rotation=45, ha="right")
+    ax.set_title(title)
+    ax.set_ylabel(ylabel)
+    if save_path:
+        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
