@@ -211,3 +211,86 @@ def test_hopenet_conversion_parity(tmp_path):
         want = tm(x).numpy()
     got = np.asarray(model.module.apply(params, jnp.asarray(to_nhwc(x)))[-1])
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_arcface_conversion_parity(tmp_path):
+    """IR-SE-50 (reference arc_face_model field names: input_layer /
+    body.{i}.res_layer / shortcut_layer / output_layer) — validates the
+    SE blocks, PReLU, MaxPool(1,stride) shortcuts, and the 512*7*7
+    flatten reorder in out_fc."""
+    from gan_control_tpu.losses.predictors import arcface as af
+
+    class SE(nn.Module):
+        def __init__(self, ch, red=16):
+            super().__init__()
+            self.avg_pool = nn.AdaptiveAvgPool2d(1)
+            self.fc1 = nn.Conv2d(ch, ch // red, 1, bias=False)
+            self.relu = nn.ReLU()
+            self.fc2 = nn.Conv2d(ch // red, ch, 1, bias=False)
+            self.sigmoid = nn.Sigmoid()
+
+        def forward(self, x):
+            a = self.sigmoid(self.fc2(self.relu(self.fc1(self.avg_pool(x)))))
+            return x * a
+
+    class IRSE(nn.Module):
+        def __init__(self, inp, depth, stride):
+            super().__init__()
+            if inp == depth:
+                self.shortcut_layer = nn.MaxPool2d(1, stride)
+            else:
+                self.shortcut_layer = nn.Sequential(
+                    nn.Conv2d(inp, depth, 1, stride, bias=False),
+                    nn.BatchNorm2d(depth),
+                )
+            self.res_layer = nn.Sequential(
+                nn.BatchNorm2d(inp),
+                nn.Conv2d(inp, depth, 3, 1, 1, bias=False), nn.PReLU(depth),
+                nn.Conv2d(depth, depth, 3, stride, 1, bias=False),
+                nn.BatchNorm2d(depth), SE(depth),
+            )
+
+        def forward(self, x):
+            return self.res_layer(x) + self.shortcut_layer(x)
+
+    class TorchArc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_layer = nn.Sequential(
+                nn.Conv2d(3, 64, 3, 1, 1, bias=False), nn.BatchNorm2d(64),
+                nn.PReLU(64),
+            )
+            mods = []
+            for depth, units in ((64, 3), (128, 4), (256, 14), (512, 3)):
+                inp = {64: 64, 128: 64, 256: 128, 512: 256}[depth]
+                mods.append(IRSE(inp, depth, 2))
+                mods += [IRSE(depth, depth, 1) for _ in range(units - 1)]
+            self.body = nn.Sequential(*mods)
+            self.output_layer = nn.Sequential(
+                nn.BatchNorm2d(512), nn.Dropout(0.0), nn.Flatten(),
+                nn.Linear(512 * 7 * 7, 512), nn.BatchNorm1d(512),
+            )
+
+        def forward(self, x):
+            y = self.output_layer(self.body(self.input_layer(x)))
+            return y / y.norm(dim=1, keepdim=True)
+
+    torch.manual_seed(3)
+    tm = TorchArc().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    path = tmp_path / "arc.pth"
+    torch.save(tm.state_dict(), path)
+
+    model = af.make_model({"center_crop": None})
+    params = af.convert_torch_weights(model, str(path))
+
+    x = torch.rand(2, 3, 112, 112) * 2 - 1
+    with torch.no_grad():
+        want = tm(x).numpy()
+    got = np.asarray(model.module.apply(params, jnp.asarray(to_nhwc(x)))[-1])
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
