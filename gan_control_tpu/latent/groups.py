@@ -16,7 +16,7 @@ it can be a static argument of a jitted train step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Sequence
+from typing import Any, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -243,9 +243,9 @@ def randomized_spec(
     Behavior contract: RandomMiniBatchUtils.randomize_places_in_batch
     (mini_batch_random_multi_split_utils.py:45-68): each group gets an even
     number of slots within its count_range, consuming the whole mini-batch.
-    Because the result is a static GroupSpec, feeding it into a jitted step
-    triggers at most a few recompiles (placements are quantized); for a
-    recompile-free variant feed `pair_source_rows`/`share_mask` as arrays.
+    For the recompile-free per-step variant, convert the result to arrays
+    with :func:`arrangement_from_spec` (or call :func:`random_arrangement`)
+    and feed them into one compiled step.
     """
     n = len(spec.groups)
     counts = []
@@ -275,3 +275,99 @@ def randomized_spec(
         new_groups[idx] = dataclasses.replace(g, mb_start=cursor, mb_end=cursor + c)
         cursor += c
     return dataclasses.replace(spec, groups=tuple(new_groups))
+
+
+# ---------------------------------------------------------------------------
+# Array-valued arrangement (recompile-free per-step randomization)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Arrangement:
+    """The batch arrangement as ARRAYS, so a per-step random placement can be
+    fed into ONE compiled train step with zero recompiles (the TPU-native
+    replacement for RandomMiniBatchUtils' per-iteration slot shuffling,
+    reference utils/mini_batch_random_multi_split_utils.py:45-68).
+
+    All members are per-mini-batch-chunk shaped; the train step applies the
+    same arrangement to every chunk of the global batch.
+
+    pair_src: [mini_batch] int32 — row -> source row for the share-copy
+      (odd rows of a group's slot pairs point at the preceding even row).
+    share_mask: [mini_batch, style_dim] bool — latent positions overwritten
+      from ``pair_src`` (each odd pair row, its group's latent columns).
+    noise_pair_src: [mini_batch] int32 — pairing for the 'id' group only
+      ('same_for_same_id' injection-noise sharing).
+    same_pair_masks: {group: [mini_batch, mini_batch] bool} — entry
+      [odd, even] marked for each of that group's slot pairs. Because every
+      pairwise distance used by the criterion is symmetric, marking the
+      strictly-lower (odd, even) entry reproduces the reference's
+      reorder-then-lower-triangle bookkeeping without any reordering.
+    all_pair_mask: [mini_batch, mini_batch] bool — union of every group's
+      pair entries (the "not-same" pairs of group g are
+      ``all_pair_mask & ~same_pair_masks[g]``).
+    """
+
+    pair_src: Any
+    share_mask: Any
+    noise_pair_src: Any
+    same_pair_masks: dict
+    all_pair_mask: Any
+
+
+jax.tree_util.register_dataclass(
+    Arrangement,
+    data_fields=["pair_src", "share_mask", "noise_pair_src",
+                 "same_pair_masks", "all_pair_mask"],
+    meta_fields=[],
+)
+
+
+def arrangement_from_spec(spec: GroupSpec, noise_group: str = "id") -> Arrangement:
+    """Materialize a (possibly randomized) GroupSpec's tables as arrays."""
+    n = spec.mini_batch
+    pair_src = spec.pair_source_rows().astype(np.int32)
+    share = spec.share_mask()
+    noise_src = np.arange(n, dtype=np.int32)
+    same_masks = {}
+    all_pairs = np.zeros((n, n), dtype=bool)
+    for g in spec.groups:
+        m = np.zeros((n, n), dtype=bool)
+        if g.mb_start is not None:
+            for i in range(g.mb_start, g.mb_end, 2):
+                if i + 1 < g.mb_end:
+                    m[i + 1, i] = True
+                    if g.name == noise_group:
+                        noise_src[i + 1] = i
+        same_masks[g.name] = m
+        all_pairs |= m
+    return Arrangement(
+        pair_src=pair_src,
+        share_mask=share,
+        noise_pair_src=noise_src,
+        same_pair_masks=same_masks,
+        all_pair_mask=all_pairs,
+    )
+
+
+def random_arrangement(
+    spec: GroupSpec, rng: np.random.Generator, noise_group: str = "id"
+) -> Arrangement:
+    """Fresh random slot placement for this step, as arrays (host-side, cheap:
+    ~len(groups) numpy ops). Contract: RandomMiniBatchUtils re-randomizing
+    every iteration (mini_batch_random_multi_split_utils.py:45-68)."""
+    return arrangement_from_spec(randomized_spec(spec, rng), noise_group=noise_group)
+
+
+def apply_arrangement_z(arr: Arrangement, z: jax.Array) -> jax.Array:
+    """re_arrange_z with array tables — jittable, recompile-free.
+
+    Note: the randomized mode has no style-mixing support (reference
+    mini_batch_random_multi_split_utils.py:77-78), so this takes one z.
+    """
+    return jnp.where(arr.share_mask, z[arr.pair_src], z)
+
+
+def apply_arrangement_noise(arr: Arrangement, noises: Sequence[jax.Array]) -> list[jax.Array]:
+    """re_arrange_inject_noise with array tables ('same_for_same_id')."""
+    return [n[arr.noise_pair_src] for n in noises]

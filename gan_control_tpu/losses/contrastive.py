@@ -212,3 +212,63 @@ def contrastive_loss(
         push = _masked_mean(jnp.maximum(hi - dist, 0.0), push_m)
         total = total + w * (pull + push)
     return total
+
+
+def contrastive_loss_masked(
+    cfg: ContrastiveConfig,
+    features: Sequence[jax.Array],
+    last_layer_dist: Callable[[jax.Array], jax.Array],
+    same_pairs: jax.Array,
+    not_same_pairs: jax.Array,
+) -> jax.Array:
+    """Mask-driven variant of :func:`contrastive_loss` for the recompile-free
+    randomized arrangement (pair masks are ARRAYS fed into the step).
+
+    Semantics are identical: every distance function is symmetric, so the
+    reference's reorder-[same ++ rest]-then-strict-lower-triangle bookkeeping
+    (loss_model.py:183-202) equals, in original batch order, "each unordered
+    row pair counted once" — here the strict-lower validity mask — with the
+    group's slot pairs marked at their (odd, even) entries.
+
+    Args:
+      features: per-layer [mini_batch, ...] features in BATCH order (no
+        same/not-same reordering).
+      same_pairs / not_same_pairs: [mini_batch, mini_batch] bool pair masks
+        for the target group and for all OTHER groups' pairs.
+    """
+    n_layers = len(features)
+    assert len(cfg.weights) == n_layers, (len(cfg.weights), n_layers)
+    n = features[0].shape[0]
+    valid = jnp.asarray(strict_lower_mask(n))
+    same_pairs = same_pairs & valid
+    not_same_pairs = not_same_pairs & valid
+
+    def dyn_masked_mean(x, mask):
+        m = mask.astype(x.dtype)
+        return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    total = jnp.zeros((), jnp.float32)
+    for li in range(n_layers):
+        w = cfg.weights[li]
+        if w == 0:
+            continue
+        is_last = li == n_layers - 1
+        if is_last or cfg.intermediate_as_last:
+            dist = last_layer_dist(features[li])
+        else:
+            dist = pairwise_l1(features[li])
+        lo = cfg.last_lower_thres if is_last else cfg.lower_thres[li]
+        hi = cfg.last_upper_thres if is_last else cfg.upper_thres[li]
+
+        focus = cfg.focus_on[li]
+        if focus == "same_as_last_layer":
+            pull_m, push_m = same_pairs, valid & ~same_pairs
+        elif focus == "not_same_as_last_layer":
+            pull_m, push_m = not_same_pairs, valid & ~not_same_pairs
+        else:
+            raise ValueError(f"focus_on[{li}] = {focus}")
+
+        pull = dyn_masked_mean(jnp.maximum(dist - lo, 0.0), pull_m)
+        push = dyn_masked_mean(jnp.maximum(hi - dist, 0.0), push_m)
+        total = total + w * (pull + push)
+    return total

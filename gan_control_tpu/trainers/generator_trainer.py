@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gan_control_tpu.data.datasets import get_data_loader, synthetic_data_loader
-from gan_control_tpu.latent.groups import GroupSpec, randomized_spec
+from gan_control_tpu.latent.groups import GroupSpec, random_arrangement
 from gan_control_tpu.models.factory import (
     build_discriminator,
     build_generator,
@@ -152,31 +152,14 @@ class GeneratorTrainer:
         self._g_step = jax.jit(steps["g_step"], **donate)
         self._g_reg_step = jax.jit(steps["g_reg_step"], **donate)
 
-        # mini_batch_mode 'random' (reference RandomMiniBatchUtils): per-step
-        # random group slot counts/placements. Arbitrary per-step placements
-        # would recompile the jitted step each iteration, so a bounded pool
-        # of placements is pre-sampled and rotated — each compiles once and
-        # together they cover the count variation the mode exists for.
-        self._random_g_steps = None
+        # mini_batch_mode 'random' (reference RandomMiniBatchUtils): a FRESH
+        # random group slot placement every step (reference
+        # mini_batch_random_multi_split_utils.py:45-68). The placement is fed
+        # into the one compiled g_step as an Arrangement of ARRAYS (pair
+        # sources, share mask, pair masks) — zero recompiles across steps.
+        self._arrangement_rng = None
         if self.random_mode and self.spec is not None:
-            pool = tc.get("random_placement_pool", 4)
-            host_rng = np.random.default_rng(tc.get("seed", 0) + 17)
-            self._random_specs = [
-                randomized_spec(self.spec, host_rng) for _ in range(pool)
-            ]
-            self._random_g_steps = []
-            for rspec in self._random_specs:
-                rsteps = make_train_steps(
-                    self.generator,
-                    self.discriminator,
-                    self.step_cfg,
-                    spec=rspec,
-                    attr_losses=self.attr_losses,
-                    g_tx=self.g_tx,
-                    d_tx=self.d_tx,
-                    augment_fn=augment_fn,
-                )
-                self._random_g_steps.append(jax.jit(rsteps["g_step"], **donate))
+            self._arrangement_rng = np.random.default_rng(tc.get("seed", 0) + 17)
 
         # state (fresh or resumed)
         self.state = init_gan_state(
@@ -245,6 +228,12 @@ class GeneratorTrainer:
         )
         return tuple(jax.device_put(zi, self.batch_sharding) for zi in z)
 
+    def _sample_z_single(self, batch: int):
+        z = self._host_rng.standard_normal(
+            (batch, self.step_cfg.style_dim)
+        ).astype(np.float32)
+        return jax.device_put(z, self.batch_sharding)
+
     def one_iteration(self, i: int):
         """D update (+R1), G update (+path reg), EMA. Returns metric dict of
         device scalars (not synced)."""
@@ -259,15 +248,18 @@ class GeneratorTrainer:
             self.state, m = self._d_reg_step(self.state, real)
             metrics.update(m)
 
-        if self._random_g_steps is not None:
-            g_step = self._random_g_steps[
-                self._host_rng.integers(len(self._random_g_steps))
-            ]
+        if self._arrangement_rng is not None:
+            arrangement = random_arrangement(self.spec, self._arrangement_rng)
+            # randomized mode has no mixing support (reference
+            # mini_batch_random_multi_split_utils.py:77-78) — one z
+            z = self._sample_z_single(tc["batch"])
+            self.state, m = self._g_step(
+                self.state, (z,), self.predictor_params, None, arrangement
+            )
         else:
-            g_step = self._g_step
-        self.state, m = g_step(
-            self.state, self._sample_z(tc["batch"]), self.predictor_params
-        )
+            self.state, m = self._g_step(
+                self.state, self._sample_z(tc["batch"]), self.predictor_params
+            )
         metrics.update(m)
 
         if i % tc.get("g_reg_every", 4) == 0:

@@ -40,8 +40,19 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from gan_control_tpu.latent.groups import GroupSpec, re_arrange_z, same_not_same_split
-from gan_control_tpu.losses.contrastive import ContrastiveConfig, contrastive_loss
+from gan_control_tpu.latent.groups import (
+    Arrangement,
+    GroupSpec,
+    apply_arrangement_noise,
+    apply_arrangement_z,
+    re_arrange_z,
+    same_not_same_split,
+)
+from gan_control_tpu.losses.contrastive import (
+    ContrastiveConfig,
+    contrastive_loss,
+    contrastive_loss_masked,
+)
 from gan_control_tpu.training.gan_losses import (
     d_logistic_loss,
     g_nonsaturating_loss,
@@ -100,6 +111,7 @@ def _attr_losses_for_batch(
     images: jax.Array,
     num_mini: int,
     remat: bool = False,
+    arrangement: Arrangement | None = None,
 ):
     """Sum of contrastive losses, averaged over mini-batch chunks.
 
@@ -107,27 +119,38 @@ def _attr_losses_for_batch(
     the backward pass re-runs one frozen net at a time instead of holding
     the activations of all of them simultaneously — the memory plan that
     lets the full FFHQ loss battery (6 predictor graphs) backprop at 512²
-    on one chip (SURVEY.md §7.3.2)."""
+    on one chip (SURVEY.md §7.3.2).
+
+    With ``arrangement`` (randomized mini-batch mode) the same/not-same
+    bookkeeping comes from the per-step pair-mask ARRAYS instead of the
+    static spec tables — one compile covers every placement."""
     total = jnp.zeros((), jnp.float32)
     metrics = {}
     mb = images.shape[0] // num_mini
     for al in attr_losses:
 
-        def one_loss(pp, imgs, al=al):
+        def one_loss(pp, imgs, arr, al=al):
             feats = al.feature_fn(pp, imgs)
             loss_al = jnp.zeros((), jnp.float32)
             for k in range(num_mini):
                 chunk = [f[k * mb : (k + 1) * mb] for f in feats]
-                same, not_same = zip(
-                    *(same_not_same_split(spec, f, al.group) for f in chunk)
-                )
-                loss_al = loss_al + contrastive_loss(
-                    al.cfg, same, not_same, al.dist_fn
-                )
+                if arr is not None:
+                    same_m = arr.same_pair_masks[al.group]
+                    loss_al = loss_al + contrastive_loss_masked(
+                        al.cfg, chunk, al.dist_fn,
+                        same_m, arr.all_pair_mask & ~same_m,
+                    )
+                else:
+                    same, not_same = zip(
+                        *(same_not_same_split(spec, f, al.group) for f in chunk)
+                    )
+                    loss_al = loss_al + contrastive_loss(
+                        al.cfg, same, not_same, al.dist_fn
+                    )
             return loss_al / num_mini
 
         fn = jax.checkpoint(one_loss) if remat else one_loss
-        loss_al = fn(predictor_params[al.name], images)
+        loss_al = fn(predictor_params[al.name], images, arrangement)
         metrics[f"g_{al.name}"] = loss_al
         total = total + loss_al
     return total, metrics
@@ -163,20 +186,37 @@ def make_train_steps(
     if not cfg.vanilla:
         assert spec is not None
 
-    def _gen_images(g_params, z_list, rng, inject_noise=None):
+    def _gen_images(g_params, z_list, rng, inject_noise=None, arrange=True,
+                    arrangement=None):
+        # ``arrange=False`` = the D step: the reference only re_arranges z in
+        # generator_step (generator_trainer.py:415,419) — discriminator_step
+        # feeds G iid z, so the D sees an uncorrelated fake distribution.
         styles = list(z_list)
-        if not cfg.vanilla and spec is not None:
-            # arrangement applies within each mini-batch chunk
-            chunks = [
-                re_arrange_z(spec, [z[k * cfg.mini_batch : (k + 1) * cfg.mini_batch] for z in styles])
-                for k in range(num_mini)
-            ]
-            styles = [
-                jnp.concatenate([c[i] for c in chunks], axis=0)
-                for i in range(len(styles))
-            ]
+        if arrange and not cfg.vanilla and spec is not None:
+            if arrangement is not None:
+                # randomized mode: per-step pair tables as arrays (no mixing
+                # support, like RandomMiniBatchUtils :77-78)
+                z = styles[0]
+                chunks = [
+                    apply_arrangement_z(
+                        arrangement, z[k * cfg.mini_batch : (k + 1) * cfg.mini_batch]
+                    )
+                    for k in range(num_mini)
+                ]
+                styles = [jnp.concatenate(chunks, axis=0)]
+            else:
+                # arrangement applies within each mini-batch chunk
+                chunks = [
+                    re_arrange_z(spec, [z[k * cfg.mini_batch : (k + 1) * cfg.mini_batch] for z in styles])
+                    for k in range(num_mini)
+                ]
+                styles = [
+                    jnp.concatenate([c[i] for c in chunks], axis=0)
+                    for i in range(len(styles))
+                ]
         if (
-            inject_noise is None
+            arrange
+            and inject_noise is None
             and getattr(generator, "noise_mode", "normal") == "same_for_same_id"
             and not cfg.vanilla
             and spec is not None
@@ -194,7 +234,10 @@ def make_train_steps(
             arranged = []
             for k in range(num_mini):
                 chunk = [n[k * cfg.mini_batch : (k + 1) * cfg.mini_batch] for n in noises]
-                arranged.append(re_arrange_inject_noise(spec, chunk))
+                if arrangement is not None:
+                    arranged.append(apply_arrangement_noise(arrangement, chunk))
+                else:
+                    arranged.append(re_arrange_inject_noise(spec, chunk))
             inject_noise = [
                 jnp.concatenate([arranged[k][i] for k in range(num_mini)], axis=0)
                 for i in range(len(noises))
@@ -220,7 +263,7 @@ def make_train_steps(
 
     def d_step(state: GANTrainState, real_img: jax.Array, z_list):
         rng, r_noise, r_aug1, r_aug2 = jax.random.split(state.rng, 4)
-        fake_img, _ = _gen_images(state.g_params, z_list, r_noise)
+        fake_img, _ = _gen_images(state.g_params, z_list, r_noise, arrange=False)
         fake_img = jax.lax.stop_gradient(fake_img)
         if augment_fn is not None:
             fake_img = augment_fn(fake_img, state.ada_p, r_aug1)
@@ -288,11 +331,13 @@ def make_train_steps(
         z_list,
         predictor_params: Mapping[str, Any],
         inject_noise=None,
+        arrangement: Arrangement | None = None,
     ):
         rng, r_noise, r_aug = jax.random.split(state.rng, 3)
 
         def loss_fn(g_params):
-            img, _ = _gen_images(g_params, z_list, r_noise, inject_noise)
+            img, _ = _gen_images(g_params, z_list, r_noise, inject_noise,
+                                 arrangement=arrangement)
             d_in = img if augment_fn is None else augment_fn(img, state.ada_p, r_aug)
             fake_pred, _ = discriminator.apply(state.d_params, d_in)
             adv = g_nonsaturating_loss(fake_pred)
@@ -301,7 +346,7 @@ def make_train_steps(
             if attr_losses:
                 attr_total, attr_metrics = _attr_losses_for_batch(
                     attr_losses, spec, predictor_params, img, num_mini,
-                    remat=cfg.remat_predictors,
+                    remat=cfg.remat_predictors, arrangement=arrangement,
                 )
                 total = total + attr_total
                 metrics.update(attr_metrics)

@@ -153,3 +153,84 @@ def test_data_sharded_step_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(m_single["d_loss"]), np.asarray(m_sharded["d_loss"]), rtol=2e-4
     )
+
+
+def test_d_step_ignores_arrangement(setup):
+    """The D update samples iid z — re_arrange_z appears only in the
+    reference's generator_step (generator_trainer.py:415,419), so d_step
+    metrics must be invariant to the group slot placement."""
+    spec, gen, disc, steps, state = setup
+    # same latent split, swapped mini-batch slots
+    swapped = GroupSpec(
+        groups=(
+            LatentGroup("id", 0, 32, mb_start=4, mb_end=8),
+            LatentGroup("other", 32, 64, mb_start=0, mb_end=4),
+        ),
+        mini_batch=BATCH,
+        style_dim=STYLE,
+    )
+    tc = {"lr_g": 2e-3, "lr_d": 2e-3, "g_reg_every": 4, "d_reg_every": 16}
+    from gan_control_tpu.training.state import make_gan_optimizers as _mk
+
+    g_tx, d_tx = _mk(tc)
+    cfg = TrainStepConfig(batch=BATCH, mini_batch=BATCH, style_dim=STYLE)
+    steps_swapped = make_train_steps(gen, disc, cfg, spec=swapped,
+                                     g_tx=g_tx, d_tx=d_tx)
+    z = jax.random.normal(jax.random.PRNGKey(5), (BATCH, STYLE))
+    real = jax.random.normal(jax.random.PRNGKey(6), (BATCH, SIZE, SIZE, 3)) * 0.1
+    _, m1 = jax.jit(steps["d_step"])(state, real, (z,))
+    _, m2 = jax.jit(steps_swapped["d_step"])(state, real, (z,))
+    np.testing.assert_allclose(
+        np.asarray(m1["d_loss"]), np.asarray(m2["d_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1["fake_score"]), np.asarray(m2["fake_score"]), rtol=1e-5
+    )
+
+
+def test_g_step_arrangement_array_parity(setup):
+    """g_step with the static spec tables == g_step fed the SAME placement as
+    an Arrangement of arrays (the masked contrastive criterion reproduces the
+    reorder-then-triangle bookkeeping exactly)."""
+    from gan_control_tpu.latent.groups import arrangement_from_spec
+
+    spec, gen, disc, steps, state = setup
+    z = jax.random.normal(jax.random.PRNGKey(7), (BATCH, STYLE))
+    pred_params = {"embedding_loss": {}}
+    g_step = jax.jit(steps["g_step"])
+    _, m_static = g_step(state, (z,), pred_params)
+    arr = arrangement_from_spec(spec)
+    _, m_dyn = g_step(state, (z,), pred_params, None, arr)
+    np.testing.assert_allclose(
+        np.asarray(m_static["g_embedding_loss"]),
+        np.asarray(m_dyn["g_embedding_loss"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_static["g_loss"]), np.asarray(m_dyn["g_loss"]), rtol=1e-5
+    )
+
+
+def test_g_step_random_arrangements_recompile_free(setup):
+    """Two different placements through ONE jitted g_step: different losses,
+    one compile."""
+    from gan_control_tpu.latent.groups import random_arrangement
+
+    spec, gen, disc, steps, state = setup
+    z = jax.random.normal(jax.random.PRNGKey(8), (BATCH, STYLE))
+    pred_params = {"embedding_loss": {}}
+    g_step = jax.jit(steps["g_step"])
+    rng = np.random.default_rng(0)
+    arrs = []
+    while len(arrs) < 2:
+        a = random_arrangement(spec, rng)
+        if not any(np.array_equal(a.share_mask, b.share_mask) for b in arrs):
+            arrs.append(a)
+    _, m1 = g_step(state, (z,), pred_params, None, arrs[0])
+    n_compiles = g_step._cache_size()
+    _, m2 = g_step(state, (z,), pred_params, None, arrs[1])
+    assert g_step._cache_size() == n_compiles, "placement change recompiled"
+    # different placements -> different contrastive losses (same z)
+    assert not np.allclose(
+        np.asarray(m1["g_embedding_loss"]), np.asarray(m2["g_embedding_loss"])
+    )

@@ -95,22 +95,33 @@ def test_trainer_end_to_end(tmp_path):
 
 @pytest.mark.slow
 def test_trainer_random_mini_batch_mode(tmp_path):
-    """mini_batch_mode='random': per-step group placements drawn from a
-    pre-compiled pool (the static-shape answer to RandomMiniBatchUtils)."""
+    """mini_batch_mode='random': a FRESH random group placement EVERY step,
+    fed into ONE compiled g_step as arrays — zero recompiles (the TPU answer
+    to RandomMiniBatchUtils re-randomizing per iteration, reference
+    mini_batch_random_multi_split_utils.py:45-68)."""
+    from gan_control_tpu.latent.groups import random_arrangement
+
     cfg = tiny_config(tmp_path)
     cfg["training_config"]["mini_batch_mode"] = "random"
-    cfg["training_config"]["random_placement_pool"] = 2
     cfg["training_config"]["iter"] = 3
     for g in cfg["training_config"]["sub_groups_dict"].values():
         g["count_in_mini_bach"] = [2, 6]
     trainer = GeneratorTrainer(config=cfg, init_dirs=False)
-    assert trainer._random_g_steps is not None
-    assert len(trainer._random_g_steps) == 2
-    # pool placements are valid specs over the same latent groups
-    for rspec in trainer._random_specs:
-        assert sum(g.mb_end - g.mb_start for g in rspec.groups) == 8
-    for i in range(3):
+    assert trainer._arrangement_rng is not None
+
+    # the deterministic placement stream varies across steps
+    probe = np.random.default_rng(cfg["training_config"].get("seed", 0) + 17)
+    arrs = [random_arrangement(trainer.spec, probe) for _ in range(6)]
+    assert any(
+        not np.array_equal(arrs[0].share_mask, a.share_mask) for a in arrs[1:]
+    ), "placement stream never varies"
+
+    m = trainer.one_iteration(0)
+    jax.block_until_ready(m)
+    compiles_after_first = trainer._g_step._cache_size()
+    for i in range(1, 3):
         m = trainer.one_iteration(i)
-    import jax as _jax
-    _jax.block_until_ready(m)
+    jax.block_until_ready(m)
     assert np.isfinite(float(m["g_loss"]))
+    # per-step placements did NOT trigger recompiles
+    assert trainer._g_step._cache_size() == compiles_after_first
