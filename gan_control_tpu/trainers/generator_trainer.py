@@ -435,7 +435,8 @@ class GeneratorTrainer:
 
     def evaluate_fid(self) -> float | None:
         """50K-sample FID vs the configured real-set inception stats
-        (reference evaluate_fid contract)."""
+        (reference evaluate_fid contract; the reference loads pretrained FID
+        weights unconditionally, fid_utils/inception.py:23-60)."""
         import os
 
         stats_path = self.fid_cfg.get("inception_stat_path", "")
@@ -443,12 +444,32 @@ class GeneratorTrainer:
             _log.warning("fid enabled but stats pickle %r missing — skipping", stats_path)
             return None
         from gan_control_tpu.evaluation import fid as fid_lib
-        from gan_control_tpu.evaluation.inception import init_params as incep_init
 
         if self._fid_feature_fn is None:
-            self._fid_feature_fn = fid_lib.make_feature_fn(
-                incep_init(jax.random.PRNGKey(42))
-            )
+            weights = self.fid_cfg.get("inception_weights", "")
+            if weights == "__random__":
+                # explicit smoke/test escape only — the resulting number is
+                # NOT an FID against pretrained-stats pickles
+                from gan_control_tpu.evaluation.inception import init_params
+
+                _log.warning(
+                    "fid: inception_weights='__random__' — using a randomly "
+                    "initialized InceptionV3 (smoke-test mode, not a real FID)"
+                )
+                params = init_params(jax.random.PRNGKey(42))
+            elif weights and os.path.exists(weights):
+                from gan_control_tpu.evaluation.inception import convert_torch_weights
+
+                params = convert_torch_weights(weights)
+            else:
+                _log.warning(
+                    "fid enabled but fid.inception_weights %r missing — "
+                    "skipping FID (a randomly initialized InceptionV3 would "
+                    "make the number meaningless; see WEIGHTS.md)",
+                    weights,
+                )
+                return None
+            self._fid_feature_fn = fid_lib.make_feature_fn(params)
         batch = self.tc["batch"]
         g_ema = self.state.g_ema
 
@@ -462,7 +483,9 @@ class GeneratorTrainer:
         def gen_batch(rng):
             return _gen_batch(g_ema, rng)
 
-        n = 500 if self.tc.get("debug") else self.fid_cfg.get("num_of_samples", 50000)
+        n = self.fid_cfg.get("num_of_samples", 50000)
+        if self.tc.get("debug"):
+            n = min(n, 500)
         return fid_lib.evaluate_fid(
             gen_batch, self._fid_feature_fn, stats_path, n_samples=n, batch_size=batch
         )

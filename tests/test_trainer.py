@@ -125,3 +125,83 @@ def test_trainer_random_mini_batch_mode(tmp_path):
     assert np.isfinite(float(m["g_loss"]))
     # per-step placements did NOT trigger recompiles
     assert trainer._g_step._cache_size() == compiles_after_first
+
+
+def test_shipped_configs_have_inception_weights():
+    """Config-schema check: every shipped fid block carries the pretrained
+    inception weights path (the reference loads FID weights unconditionally,
+    fid_utils/inception.py:23-60)."""
+    from pathlib import Path
+
+    cfg_dir = Path(__file__).resolve().parents[1] / "gan_control_tpu" / "configs"
+    for p in sorted(cfg_dir.glob("*.json")):
+        cfg = json.loads(p.read_text())
+        fid = cfg.get("evaluation_config", {}).get("fid", {})
+        if fid.get("enabled"):
+            assert fid.get("inception_weights"), f"{p.name}: fid.inception_weights missing"
+
+
+@pytest.mark.slow
+def test_trainer_fid_weight_wiring(tmp_path):
+    """evaluate_fid: skips (returns None) when inception_weights is absent;
+    with a converted torch checkpoint, scoring the generator's own
+    distribution against stats built from the identical sample stream gives
+    FID ~ 0 — proving the converted weights (not random ones) are in the
+    feature path."""
+    import torch
+
+    from test_inception_conversion import TorchInception
+    from gan_control_tpu.evaluation import fid as fid_lib
+    from gan_control_tpu.evaluation.inception import convert_torch_weights
+
+    torch.manual_seed(11)
+    tm = TorchInception().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.7, 1.3)
+    wpath = tmp_path / "incep.pth"
+    torch.save(tm.state_dict(), str(wpath))
+
+    cfg = tiny_config(tmp_path)
+    stats_path = tmp_path / "stats.pkl"
+    cfg["evaluation_config"]["fid"] = {
+        "enabled": True,
+        "inception_stat_path": str(stats_path),
+        "num_of_samples": 16,
+        "fid_interval": 1,
+    }
+    trainer = GeneratorTrainer(config=cfg, init_dirs=False)
+
+    # stats missing -> skip
+    assert trainer.evaluate_fid() is None
+
+    # build stats from the SAME generator stream evaluate_fid will draw
+    params = convert_torch_weights(str(wpath))
+    feature_fn = fid_lib.make_feature_fn(params)
+    batch = cfg["training_config"]["batch"]
+    style = trainer.step_cfg.style_dim
+    g_ema = trainer.state.g_ema
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _gen_batch(gp, rng):
+        k1, k2 = jax.random.split(rng)
+        z = jax.random.normal(k1, (batch, style))
+        img, _ = trainer.generator.apply(gp, [z], rngs={"noise": k2})
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    feats = fid_lib.extract_features_from_generator(
+        lambda r: _gen_batch(g_ema, r), feature_fn, 16, batch, jax.random.PRNGKey(0)
+    )
+    mu, cov = fid_lib.compute_stats(feats)
+    fid_lib.save_stats(stats_path, mu, cov)
+
+    # stats present, weights missing -> still skip (never silently-random)
+    assert trainer.evaluate_fid() is None
+
+    trainer.fid_cfg["inception_weights"] = str(wpath)
+    fid = trainer.evaluate_fid()
+    assert fid is not None and fid < 1e-3, fid
