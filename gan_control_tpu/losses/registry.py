@@ -90,7 +90,14 @@ def build_attr_losses(
         model = mod.make_model(block)
         rng, k = jax.random.split(rng)
         model_path = block.get("model_path", "")
-        if model_path and os.path.exists(model_path) and hasattr(mod, "convert_torch_weights"):
+        if model_path.endswith(".msgpack") and os.path.exists(model_path):
+            # pre-converted by tools/convert_weights.py — no torch needed
+            import flax.serialization
+
+            _log.info("%s: loading converted weights from %s", loss_name, model_path)
+            with open(model_path, "rb") as f:
+                p = flax.serialization.msgpack_restore(f.read())
+        elif model_path and os.path.exists(model_path) and hasattr(mod, "convert_torch_weights"):
             _log.info("%s: converting reference weights from %s", loss_name, model_path)
             p = mod.convert_torch_weights(model, model_path)
         else:

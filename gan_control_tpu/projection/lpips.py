@@ -35,22 +35,30 @@ SLICES = (
 CHANNELS = (64, 128, 256, 512, 512)
 
 
+class _VGGBackbone(nn.Module):
+    """Shared VGG16 feature slices; invoked once per image of the pair so
+    the conv params are shared (a twice-called inline compact backbone would
+    collide on submodule names)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = (x - SHIFT) / SCALE
+        feats = []
+        for s, convs in enumerate(SLICES):
+            if s > 0:
+                x = max_pool(x, 2, 2)
+            for idx, ch in convs:
+                x = jax.nn.relu(Conv(ch, 3, padding=1, name=f"conv{idx}")(x))
+            feats.append(x)
+        return feats
+
+
 class LPIPS(nn.Module):
     """images in [-1,1] NHWC pairs -> per-pair distance [B]."""
 
     @nn.compact
     def __call__(self, x0: jax.Array, x1: jax.Array) -> jax.Array:
-        def backbone(x):
-            x = (x - SHIFT) / SCALE
-            feats = []
-            for s, convs in enumerate(SLICES):
-                if s > 0:
-                    x = max_pool(x, 2, 2)
-                for idx, ch in convs:
-                    x = jax.nn.relu(Conv(ch, 3, padding=1, name=f"conv{idx}")(x))
-                feats.append(x)
-            return feats
-
+        backbone = _VGGBackbone(name="vgg")
         f0 = backbone(x0)
         f1 = backbone(x1)
 
@@ -88,12 +96,14 @@ def convert_torch_weights(vgg_path: str | None, lin_path: str | None, rng=None):
     if vgg_path:
         sd = torch.load(vgg_path, map_location="cpu")
         prefix = "features." if any(k.startswith("features.") for k in sd) else ""
+        vgg = dict(p.get("vgg", {}))
         for convs in SLICES:
             for idx, _ in convs:
-                p[f"conv{idx}"] = {
+                vgg[f"conv{idx}"] = {
                     "weight": conv_w(sd[f"{prefix}{idx}.weight"]),
                     "bias": np.asarray(sd[f"{prefix}{idx}.bias"]),
                 }
+        p["vgg"] = vgg
     if lin_path:
         lin = torch.load(lin_path, map_location="cpu")
         for li in range(5):

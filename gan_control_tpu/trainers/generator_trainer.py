@@ -457,6 +457,11 @@ class GeneratorTrainer:
                     "initialized InceptionV3 (smoke-test mode, not a real FID)"
                 )
                 params = init_params(jax.random.PRNGKey(42))
+            elif weights.endswith(".msgpack") and os.path.exists(weights):
+                import flax.serialization
+
+                with open(weights, "rb") as f:
+                    params = flax.serialization.msgpack_restore(f.read())
             elif weights and os.path.exists(weights):
                 from gan_control_tpu.evaluation.inception import convert_torch_weights
 
