@@ -61,6 +61,9 @@ class DataFrameDataset:
     def __len__(self):
         return len(self.controls)
 
+    def __getitem__(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.controls[i], self.latents_w[i]
+
 
 class MergedDataFrameDataset:
     """All-attribute variant: (controls dict, latents_w) per row — for a

@@ -63,8 +63,14 @@ def calc_separability(
     same_chunk: tuple[int, int] = (256, 512),
     style_dim: int = 512,
     last_layer_only: bool = True,
-) -> list[dict[str, np.ndarray]]:
-    """Returns per-layer {'same', 'not_same', 'all_not_same'} arrays.
+    return_latents: bool = False,
+):
+    """Returns per-layer {'same', 'not_same', 'all_not_same', 'worst_pairs'}
+    (worst_pairs = indices of the largest same-pair distances, the
+    reference's "bucket" failure cases, tracker.py:303-311).
+
+    With ``return_latents`` also returns the paired latents so the caller
+    can regenerate the worst pairs' images.
 
     generate_fn: z [B,style_dim] -> images [-1,1] NHWC.
     feature_fn: images -> per-layer feature list.
@@ -92,5 +98,9 @@ def calc_separability(
         sig = jnp.asarray(layer[0::2])
         qry = jnp.asarray(layer[1::2])
         d = np.asarray(dist_fn(sig, qry))
-        results.append(separability_stats(d))
+        st = separability_stats(d)
+        st["worst_pairs"] = worst_same_pairs(d)
+        results.append(st)
+    if return_latents:
+        return results, latents
     return results

@@ -111,7 +111,9 @@ class Tracker:
     # -- separability ------------------------------------------------------------
 
     def register_separability(self, step: int, loss_name: str, layer_stats):
-        """layer_stats: list of {'same','not_same','all_not_same'} arrays."""
+        """layer_stats: list of {'same','not_same','all_not_same'} arrays.
+        Also emits TensorBoard histograms of each distance population
+        (reference tracker.py:313-320)."""
         for li, st in enumerate(layer_stats):
             self.evaluation_dict[f"separability/{loss_name}/l{li}_same_mean"] = float(
                 np.mean(st["same"])
@@ -121,6 +123,27 @@ class Tracker:
             )
             margin = float(np.mean(st["not_same"]) - np.mean(st["same"]))
             self.evaluation_dict[f"separability/{loss_name}/l{li}_margin"] = margin
+            if self._writer is not None:
+                for kind in ("same", "not_same", "all_not_same"):
+                    self._writer.add_histogram(
+                        f"separability/{loss_name}/l{li}_{kind}",
+                        np.asarray(st[kind]),
+                        step,
+                    )
+
+    def save_bucket_images(self, step: int, loss_name: str, images):
+        """Worst same-pair "bucket" grid: the k pairs whose shared-group
+        distance is LARGEST — the current failure cases (reference
+        tracker.py:303-311). images: [2k, H, W, C] in [0,1], pairs adjacent."""
+        if self.save_dir is None:
+            return None
+        from gan_control_tpu.evaluation.generation import save_image_grid
+
+        out = self.save_dir / "buckets" / loss_name
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / f"{step:06d}.jpg"
+        save_image_grid(np.asarray(images), path, nrow=2)
+        return path
 
     # -- sink (reference write_stats :349-353) -------------------------------------
 

@@ -58,4 +58,9 @@ def build_discriminator(config: Mapping[str, Any]) -> Discriminator:
         in_channels=mc.get("img_channels", 3),
         model_mode=model_mode,
         remat=mc.get("remat", False),
+        # optional verification branch (reference gan_model.py:925-951 ctor
+        # args; exposed here via model_config keys)
+        verification=mc.get("verification", False),
+        verification_res_split=mc.get("verification_res_split"),
+        verification_dim=mc.get("verification_dim", 128),
     )

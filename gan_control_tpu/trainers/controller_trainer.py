@@ -203,11 +203,86 @@ class ControllerTrainer:
     def _make_eval(self):
         s, e = self.group_slice
 
-        def evaluate(params, controls, org_latent):
+        def evaluate(params, controls, org_latent, rng, g_params):
+            """Held-out metrics (reference evaluate, controller_trainer.py
+            :292-335): latent_rec always; attribute_rec (frozen-G synthesis
+            with the predicted slice swapped in, re-predicted attribute vs
+            target) when enabled."""
             pred_latent = self.controller.apply(params, controls)
-            return self._rec_loss(pred_latent, org_latent[:, s:e])
+            out = {"eval_latent_rec": self._rec_loss(pred_latent, org_latent[:, s:e])}
+            if self.use_attribute_rec:
+                latent = org_latent.at[:, s:e].set(pred_latent)
+                img, _ = self.generator.apply(
+                    g_params, [latent], input_is_latent=True, rngs={"noise": rng}
+                )
+                pred_attr = self.predict_fn(img)
+                out["eval_attribute_loss"] = self.criterion(pred_attr, controls)
+            return out
 
         return evaluate
+
+    def evaluate(self) -> dict:
+        """Aggregate eval metrics over several held-out batches (reference
+        num_of_batches = 5 debug / 25, :299)."""
+        if self.eval_loader is None:
+            return {}
+        n_batches = 5 if self.tc.get("debug") else 25
+        rng = jax.random.PRNGKey(int(self.state.step))
+        agg: dict[str, float] = {}
+        for b in range(n_batches):
+            ec, ew = next(self.eval_loader)
+            rng, k = jax.random.split(rng)
+            m = self._eval_fn(
+                self.state.params, jnp.asarray(ec), jnp.asarray(ew), k, self.g_params
+            )
+            for k2, v in m.items():
+                agg[k2] = agg.get(k2, 0.0) + float(v)
+        return {k2: v / n_batches for k2, v in agg.items()}
+
+    def save_dual_images(self, i: int):
+        """Interleaved real/pred grid: columns alternate the frozen-G image
+        from the ORIGINAL w row and from w with the controller-predicted
+        group slice swapped in, identical injection noise for the pair
+        (reference save_dual_images, controller_trainer.py:364-391)."""
+        import numpy as np
+
+        from gan_control_tpu.evaluation.generation import save_image_grid
+
+        if self.save_dir is None or self.eval_dataset is None:
+            return None
+        s, e = self.group_slice
+        n = 8
+        rows = np.random.default_rng(i).integers(0, len(self.eval_dataset), n)
+        controls = jnp.asarray(np.stack([self.eval_dataset[r][0] for r in rows]))
+        latent_ws = jnp.asarray(np.stack([self.eval_dataset[r][1] for r in rows]))
+
+        shapes = self.generator.noise_shapes(n)
+        key = jax.random.PRNGKey(i)
+        noise = [
+            jax.random.normal(jax.random.fold_in(key, li), sh)
+            for li, sh in enumerate(shapes)
+        ]
+        pred_latent = self.controller.apply(self.state.params, controls)
+        pred_ws = latent_ws.at[:, s:e].set(pred_latent)
+        real_img, _ = self.generator.apply(
+            self.g_params, [latent_ws], input_is_latent=True, noise=noise,
+            rngs={"noise": key},
+        )
+        pred_img, _ = self.generator.apply(
+            self.g_params, [pred_ws], input_is_latent=True, noise=noise,
+            rngs={"noise": key},
+        )
+        # interleave real/pred pairs
+        pairs = jnp.stack([real_img, pred_img], axis=1).reshape(
+            (2 * n,) + real_img.shape[1:]
+        )
+        pairs = jnp.clip(pairs * 0.5 + 0.5, 0.0, 1.0)
+        out = Path(self.save_dir) / "images" / "sample"
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / f"{i:06d}.png"
+        save_image_grid(pairs, path, nrow=4)
+        _log.info("saved dual real/pred grid: %s", path)
+        return path
 
     # -- loop -------------------------------------------------------------------
 
@@ -227,13 +302,11 @@ class ControllerTrainer:
             if i % eval_interval == 0:
                 vals = {k2: float(v) for k2, v in metrics.items()}
                 vals["iter"] = i
-                if self.eval_loader is not None:
-                    ec, ew = next(self.eval_loader)
-                    vals["eval_latent_rec"] = float(
-                        self._eval_fn(self.state.params, jnp.asarray(ec), jnp.asarray(ew))
-                    )
+                vals.update(self.evaluate())
                 self.metrics_history.append(vals)
                 _log.info("controller iter %d: %s", i, vals)
+                if self.save_dir:
+                    self.save_dual_images(i)
             if self.save_dir and i > start and i % save_interval == 0:
                 self.save_nets(i)
         if self.save_dir:

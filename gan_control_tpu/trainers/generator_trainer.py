@@ -516,7 +516,7 @@ class GeneratorTrainer:
                 continue
             group = self.spec.group(al.group)
             pair_dist = al.pair_dist_fn or C.pairwise_sq_l2
-            stats = calc_separability(
+            stats, latents = calc_separability(
                 gen,
                 lambda imgs, al=al: al.feature_fn(self.predictor_params[al.name], imgs),
                 pair_dist,
@@ -527,8 +527,18 @@ class GeneratorTrainer:
                 last_layer_only=self.separability_cfg.get(
                     "last_layer_separability_only", True
                 ),
+                return_latents=True,
             )
             self.tracker.register_separability(i, al.name, stats)
+            if self.save_dir is not None:
+                # regenerate the worst same-pairs (largest shared-group
+                # distance) and save the "bucket" failure grid
+                # (reference tracker.py:303-311)
+                pairs = stats[-1]["worst_pairs"][:4]
+                rows = np.stack([r for p in pairs for r in (2 * p, 2 * p + 1)])
+                imgs = _gen(g_ema, latents[rows])
+                imgs = jnp.clip(imgs * 0.5 + 0.5, 0.0, 1.0)
+                self.tracker.save_bucket_images(i, al.name, imgs)
 
     def save_images(self, i: int):
         """Fixed-z sample grid + one per-group disentanglement matrix

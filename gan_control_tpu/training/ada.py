@@ -22,10 +22,18 @@ pipeline; note the reference file cannot even import as published, its
 TPU-first deviations (both intentional, static-shape requirements):
   - The reference computes a per-batch dynamic padding from the sampled
     affine extremes and retries on reflect-pad failure (:288-313). Here the
-    pad is a FIXED h//4 + kernel support; coordinates falling outside the
-    padded region sample zeros (exactly the reference's grid_sample
-    padding_mode='zeros' behavior beyond its pad) — only the far tail of
-    the scale distribution is affected.
+    pad is a FIXED h//4 + kernel support (static shapes under jit), and
+    pre-image coordinates beyond it are reflect-FOLDED back into the frame
+    (_fold_reflect) — the mirrored continuation a larger reflect pad would
+    hold. This matters: at ADA p=0.6 a measured 58% of sampled affines need
+    more than h//4 of padding (24% need more than h//2), so zeros there
+    would blacken a large fraction of augmented batches. The folded content
+    matches a big-pad reference run up to ~2px of seam phase — within the
+    reference's OWN pad-to-pad variation (its linspace grid stretches
+    sub-pixel with the pad size; two reference runs padded 16 vs 24 differ
+    by up to 0.15 in [-1,1] units on the same transform). Unlike the
+    reference we never resample an affine whose pad exceeds the image (its
+    retry loop); those ultra-tail transforms get reflect-tiled content.
   - p adapts every step from the current batch's sign statistic instead of
     every 256 predictions from an accumulated buffer — the same drift in
     expectation, finer-grained steps, and no host/device syncs.
@@ -190,9 +198,29 @@ def _grid_sample_zeros(img: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Arra
     )
 
 
+def _fold_reflect(u: jax.Array, n: int) -> jax.Array:
+    """Reflect-tile a normalized coordinate into the image frame.
+
+    ``u`` in the original frame's align_corners=False convention (±1 =
+    outer pixel edges); reflection is about the edge pixel CENTERS
+    ±(1 - 1/n), matching torch F.pad(mode='reflect') tiling — so sampling
+    the folded coordinate inside the frame equals sampling an arbitrarily
+    large reflect pad, which is the reference's dynamic-pad behavior
+    (non_leaking.py:288-313) without materializing the pad."""
+    c = 1.0 - 1.0 / n
+    t = jnp.mod(u + c, 4.0 * c)
+    return jnp.where(t <= 2.0 * c, t, 4.0 * c - t) - c
+
+
 def apply_affine(img: jax.Array, g: jax.Array) -> jax.Array:
     """Geometric warp with SYM6 antialiasing (reference random_apply_affine,
-    :316-371) at a FIXED pad = h//4 (see module docstring)."""
+    :316-371). A FIXED pad = h//4 + filter support is materialized (static
+    shapes under jit); pre-image coordinates beyond it are reflect-FOLDED
+    back into the frame (see _fold_reflect) — equivalent content to the
+    reference's per-batch dynamic reflect pad, up to the (near-symmetric)
+    SYM6 filter's treatment at the fold seam. Unlike the reference we never
+    resample the affine when its pad exceeds the image (its retry loop);
+    those ultra-tail transforms get reflect-tiled content instead."""
     b, h, w, _ = img.shape
     kernel = jnp.asarray(np.outer(SYM6, SYM6))
     kernel_flip = jnp.flip(kernel, (0, 1))
@@ -223,8 +251,17 @@ def apply_affine(img: jax.Array, g: jax.Array) -> jax.Array:
 
     g_inv = jnp.linalg.inv(g)[:, :2, :]  # [B,2,3]
     warped = jnp.einsum("bhwk,bjk->bhwj", coords, g_inv)  # [B,h2,w2,2]
-    gx = warped[..., 0] * (w / w_p) + ((w + 2 * pad) / w_p - 1)
-    gy = warped[..., 1] * (h / h_p) + ((h + 2 * pad) / h_p - 1)
+    # inside the materialized pad: sample it directly (exact, filter-
+    # consistent). Beyond it: reflect-fold into the frame — the same
+    # content a larger reflect pad would hold (first mirror and onward).
+    cover_x = 1.0 + 2.0 * (pad - 1) / w
+    cover_y = 1.0 + 2.0 * (pad - 1) / h
+    wx_r = warped[..., 0]
+    wy_r = warped[..., 1]
+    wx_f = jnp.where(jnp.abs(wx_r) <= cover_x, wx_r, _fold_reflect(wx_r, w))
+    wy_f = jnp.where(jnp.abs(wy_r) <= cover_y, wy_r, _fold_reflect(wy_r, h))
+    gx = wx_f * (w / w_p) + ((w + 2 * pad) / w_p - 1)
+    gy = wy_f * (h / h_p) + ((h + 2 * pad) / h_p - 1)
 
     img_affine = _grid_sample_zeros(img_2x, gx, gy)
     img_down = upfirdn2d(img_affine, kernel, down=2)

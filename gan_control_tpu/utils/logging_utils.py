@@ -9,9 +9,13 @@ import sys
 
 
 def get_logger(name: str) -> logging.Logger:
+    import os
+
     logger = logging.getLogger(name)
     if not logger.handlers:
-        h = logging.StreamHandler(sys.stdout)
+        # GANCTL_LOG_STDERR: keep stdout machine-parseable (bench.py JSON)
+        stream = sys.stderr if os.environ.get("GANCTL_LOG_STDERR") else sys.stdout
+        h = logging.StreamHandler(stream)
         h.setFormatter(
             logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
         )

@@ -129,3 +129,71 @@ def test_ada_p_update_direction():
     down = ada_p_update(p, jnp.asarray(0.1), 0.6, 16, 500_000)
     assert float(up) > 0.5 > float(down)
     assert float(ada_p_update(jnp.asarray(0.0), jnp.asarray(-1.0), 0.6, 16, 1000)) == 0.0
+
+
+def test_apply_affine_beyond_pad_reflects_not_zeros():
+    """Transforms needing more pad than the fixed h//4 (58% of draws at
+    p=0.6!) must sample the mirrored continuation, not zeros. Oracle: the
+    same torch pipeline with a LARGE materialized reflect pad. Tolerances
+    are loose because the reference's own grid math is pad-dependent at
+    sub-pixel scale (see ada.py module docstring)."""
+    import torch
+    import torch.nn.functional as F
+
+    from gan_control_tpu.training.ada import SYM6, apply_affine
+
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w] / h
+    img_np = np.stack(
+        [np.sin(2 * np.pi * xx), np.cos(2 * np.pi * yy), xx * yy], 0
+    )[None].astype(np.float32)
+    # translation by (1.0, -0.7) units = (16, 11) px >> fixed pad 8
+    g_np = np.eye(3, dtype=np.float32)[None].copy()
+    g_np[0, 0, 2], g_np[0, 1, 2] = 1.0, -0.7
+
+    def oracle(img_t, pad):
+        len_k = len(SYM6)
+        pad_k = (len_k + 1) // 2
+        k2 = torch.from_numpy(np.outer(SYM6, SYM6))
+
+        def fir(x, kernel, up=1, down=1):
+            c = x.shape[1]
+            kk = torch.flip(kernel, (0, 1))[None, None].repeat(c, 1, 1, 1)
+            if up > 1:
+                z = torch.zeros(x.shape[0], c, x.shape[2] * up, x.shape[3] * up)
+                z[:, :, ::up, ::up] = x
+                x = z
+            return F.conv2d(x, kk, stride=down, groups=c)
+
+        img_pad = F.pad(img_t, (pad + pad_k,) * 4, mode="reflect")
+        w_p = img_pad.shape[3] - len_k + 1
+        h_p = img_pad.shape[2] - len_k + 1
+        img2 = fir(img_pad, torch.flip(k2, (0, 1)), up=2)
+        _, _, h2, w2 = img2.shape
+        gx = torch.linspace(-2 * pad / w - 1, 2 * (w_p - pad) / w - 1, w2)
+        gy = torch.linspace(-2 * pad / h - 1, 2 * (h_p - pad) / h - 1, h2)
+        grid = torch.stack(
+            [gx[None, :].expand(h2, w2), gy[:, None].expand(h2, w2),
+             torch.ones(h2, w2)], dim=-1)[None]
+        ginv = torch.inverse(torch.from_numpy(g_np))[:, :2, :]
+        warped = (grid.reshape(1, -1, 3) @ ginv.transpose(1, 2)).reshape(1, h2, w2, 2)
+        warped = warped * torch.tensor([w / w_p, h / h_p]) + torch.tensor(
+            [(w + 2 * pad) / w_p - 1, (h + 2 * pad) / h_p - 1])
+        aff = F.grid_sample(img2, warped, mode="bilinear", align_corners=False,
+                            padding_mode="zeros")
+        return fir(aff, k2, down=2)[:, :, pad : pad + h, pad : pad + w].numpy()
+
+    want = oracle(torch.from_numpy(img_np), 24)  # 24px covers the pre-image
+    got = np.asarray(
+        apply_affine(jnp.asarray(img_np.transpose(0, 2, 3, 1)), jnp.asarray(g_np))
+    ).transpose(0, 3, 1, 2)
+
+    signal_rms = float(np.sqrt((want ** 2).mean()))
+    err_rms = float(np.sqrt(((got - want) ** 2).mean()))
+    assert err_rms < 0.4 * signal_rms, (err_rms, signal_rms)
+    # strongly correlated with the mirrored continuation
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.93, corr
+    # and definitely not zeros in the folded region (left/top strip)
+    strip = got[:, :, :, :6]
+    assert float(np.sqrt((strip ** 2).mean())) > 0.2 * signal_rms

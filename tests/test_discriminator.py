@@ -47,3 +47,45 @@ def test_minibatch_stddev_matches_torch_semantics():
     got = np.asarray(minibatch_stddev(jnp.asarray(x), group_size=4))
     np.testing.assert_allclose(got[..., -1:], want, rtol=1e-5)
     np.testing.assert_allclose(got[..., :-1], x, rtol=1e-6)
+
+
+def test_verification_wired_from_config():
+    """build_discriminator reads model_config.verification* (reference
+    Discriminator ctor args, gan_model.py:925-951) and the branch trains:
+    grads flow to both the adversarial head and the verification tail."""
+    import jax
+    import numpy as np
+
+    from gan_control_tpu.models.factory import build_discriminator
+
+    cfg = {
+        "model_config": {
+            "size": 32,
+            "img_channels": 3,
+            "max_channels": 64,
+            "channel_multiplier": 0.5,
+            "verification": True,
+            "verification_res_split": 8,
+            "verification_dim": 16,
+        }
+    }
+    d = build_discriminator(cfg)
+    assert d.verification and d.verification_res_split == 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = d.init(jax.random.PRNGKey(1), x)
+    adv, ver = d.apply(params, x)
+    assert adv.shape == (2, 1)
+    assert ver.shape == (2, 16)
+
+    def loss(p):
+        a, v = d.apply(p, x)
+        return jnp.mean(a) + jnp.mean(jnp.square(v))
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    ver_grads = [np.abs(np.asarray(g)).sum() for path, g in flat
+                 if any("ver_" in str(p) for p in path)]
+    adv_grads = [np.abs(np.asarray(g)).sum() for path, g in flat
+                 if any("adv_" in str(p) for p in path)]
+    assert ver_grads and sum(ver_grads) > 0
+    assert adv_grads and sum(adv_grads) > 0

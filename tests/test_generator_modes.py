@@ -81,3 +81,36 @@ def test_explicit_inject_index_mixing():
     np.testing.assert_allclose(np.asarray(lat[:, 0]), np.asarray(w1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lat[:, 1]), np.asarray(w1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lat[:, 2]), np.asarray(w2), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_896_mode_forward():
+    """Actual forward at model_mode='896' (reference gan_model.py:552-563,
+    691-692): a size-1024 ladder whose res-16 conv shrinks 16->14, giving
+    a 896x896 output; explicit make_noise-shaped injection noise must be
+    accepted. Discriminator consumes the 896 image via its fractional
+    overwrite_padding blocks."""
+    import jax
+
+    from gan_control_tpu.models.discriminator import Discriminator
+
+    g = Generator(size=1024, model_mode="896", style_dim=32, n_mlp=1,
+                  channel_multiplier=0.25, max_channels=8)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 32))
+    params = g.init({"params": jax.random.PRNGKey(1),
+                     "noise": jax.random.PRNGKey(2)}, [z])
+    noise = [
+        jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(3), i), s)
+        for i, s in enumerate(g.noise_shapes(1))
+    ]
+    img, latent = g.apply(params, [z], noise=noise, return_latents=True)
+    assert img.shape == (1, 896, 896, 3), img.shape
+    assert np.isfinite(np.asarray(img)).all()
+    assert latent.shape == (1, g.n_latent, 32)
+
+    d = Discriminator(size=1024, model_mode="896", channel_multiplier=0.25,
+                      max_channels=8)
+    d_params = d.init(jax.random.PRNGKey(4), img)
+    logit, _ = d.apply(d_params, img)
+    assert logit.shape == (1, 1)
+    assert np.isfinite(np.asarray(logit)).all()

@@ -207,13 +207,22 @@ def test_controller_attribute_rec(phase1_dir, tmp_path):
             "losses": ["latent_rec", "attribute_rec"], "attribute_rec_w": 0.01,
         },
     }
+    cfg["training_config"]["debug"] = True
     tr = ControllerTrainer(
-        config=cfg, init_dirs=False, predict_fn=fake_predict,
+        config=cfg, predict_fn=fake_predict,
         controller_criterion=lambda p, t: jnp.mean(jnp.abs(p - t)),
     )
     tr.train(5)
     assert tr.metrics_history
-    assert np.isfinite(tr.metrics_history[-1]["attribute_loss"])
+    last = tr.metrics_history[-1]
+    assert np.isfinite(last["attribute_loss"])
+    # held-out eval reports BOTH latent_rec and attribute_rec
+    # (reference controller_trainer.py:292-335)
+    assert np.isfinite(last["eval_latent_rec"])
+    assert np.isfinite(last["eval_attribute_loss"])
+    # dual real/pred grids saved per eval interval (reference :364-391)
+    grids = sorted((tr.save_dir / "images" / "sample").glob("*.png"))
+    assert grids, "no dual real/pred grid saved"
 
 
 def test_make_attributes_df_cli(phase1_dir, tmp_path, monkeypatch):

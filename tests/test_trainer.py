@@ -205,3 +205,48 @@ def test_trainer_fid_weight_wiring(tmp_path):
     trainer.fid_cfg["inception_weights"] = str(wpath)
     fid = trainer.evaluate_fid()
     assert fid is not None and fid < 1e-3, fid
+
+
+@pytest.mark.slow
+def test_trainer_separability_buckets(tmp_path):
+    """evaluate_separability registers scalar stats AND saves the worst
+    same-pair "bucket" grid (reference tracker.py:303-311)."""
+    import jax.numpy as jnp
+
+    from gan_control_tpu.losses.contrastive import ContrastiveConfig, pairwise_sq_l2
+    from gan_control_tpu.training.train_step import AttributeLossSpec
+
+    def fake_features(params, images):
+        del params
+        return [jnp.mean(images, axis=(1, 2))]
+
+    attr = (
+        AttributeLossSpec(
+            name="embedding_loss",
+            group="id",
+            cfg=ContrastiveConfig(
+                intermediate_weights=(), last_layer_weight=1.0,
+                lower_thres=(), upper_thres=(),
+                last_lower_thres=0.1, last_upper_thres=1.0,
+                focus_on=("same_as_last_layer",),
+            ),
+            feature_fn=fake_features,
+            dist_fn=pairwise_sq_l2,
+        ),
+    )
+    cfg = tiny_config(tmp_path)
+    cfg["evaluation_config"]["separability"] = {
+        "enabled": True,
+        "losses": ["embedding_loss"],
+        "separability_interval": 1,
+    }
+    trainer = GeneratorTrainer(
+        config=cfg, attr_losses=attr, predictor_params={"embedding_loss": {}}
+    )
+    trainer.evaluate_separability(1)
+    assert any(
+        k.startswith("separability/embedding_loss")
+        for k in trainer.tracker.evaluation_dict
+    )
+    bucket = trainer.save_dir / "buckets" / "embedding_loss" / "000001.jpg"
+    assert bucket.exists(), "worst-pair bucket grid not saved"
