@@ -90,6 +90,23 @@ def _sfd_entry():
             "probe": probe}
 
 
+def _blazeface_entry():
+    def convert(path):
+        from gan_control_tpu.alignment import blazeface
+
+        return blazeface.convert_torch_weights(path)
+
+    def probe(params):
+        from gan_control_tpu.alignment import blazeface
+
+        net = blazeface.BlazeFaceNet()
+        raw_box, _ = net.apply(params, _probe_image(128))
+        return np.asarray(raw_box)
+
+    return {"name": "blazeface", "patterns": ["blazeface*.pth"],
+            "convert": convert, "probe": probe}
+
+
 def _inception_entry():
     def convert(path):
         from gan_control_tpu.evaluation import inception
@@ -149,6 +166,7 @@ def make_specs():
         _inception_entry(),
         _fan_entry(),
         _sfd_entry(),
+        _blazeface_entry(),
         _lpips_entry(),
     ]
 
