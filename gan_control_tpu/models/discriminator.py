@@ -18,6 +18,7 @@ import math
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from gan_control_tpu.models.blocks import (
     ConvLayer,
@@ -61,6 +62,10 @@ class Discriminator(nn.Module):
     verification_res_split: int | None = None
     verification_dim: int = 128
     model_mode: str = "normal"
+    # compute dtype of the pyramid (params stay float32; the blocks follow
+    # the activation dtype). Logits are returned in float32 so the GAN
+    # losses and R1 stay full-precision.
+    dtype: jnp.dtype = jnp.float32
     # rematerialize each ResBlock in the backward pass: peak activation
     # memory drops from the whole-pyramid sum to one block (enables
     # batch 16/chip at 512² — the reference fit only 4/GPU)
@@ -77,7 +82,7 @@ class Discriminator(nn.Module):
             else self.verification_res_split
         )
 
-        x = ConvLayer(channels[self.size], 1, name="from_rgb")(x)
+        x = ConvLayer(channels[self.size], 1, name="from_rgb")(x.astype(self.dtype))
 
         shared = x
         split_blocks = []  # (res, out_channel, overwrite_padding) below the split
@@ -111,6 +116,7 @@ class Discriminator(nn.Module):
                 name=f"adv_block{j}",
             )(adv)
         adv_logit = DiscriminatorHead(channels[4], 1, name="adv_head")(adv)
+        adv_logit = adv_logit.astype(jnp.float32)
 
         if not self.verification:
             return adv_logit, None
@@ -126,4 +132,4 @@ class Discriminator(nn.Module):
         ver_emb = DiscriminatorHead(
             channels[4], self.verification_dim, name="ver_head"
         )(ver)
-        return adv_logit, ver_emb
+        return adv_logit, ver_emb.astype(jnp.float32)

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from typing import Any, Mapping
 
+import jax.numpy as jnp
+
 from gan_control_tpu.latent.groups import GroupSpec
 from gan_control_tpu.models.discriminator import Discriminator
 from gan_control_tpu.models.generator import Generator
@@ -42,6 +44,9 @@ def build_generator(config: Mapping[str, Any], spec: GroupSpec | None) -> Genera
         model_mode=model_mode,
         noise_mode=mc.get("g_noise_mode", "normal"),
         remat=mc.get("remat", False),
+        # mixed precision: synthesis in bfloat16 (params + mapping stay
+        # float32); the MXU-native training configuration on TPU
+        dtype=jnp.bfloat16 if mc.get("mixed_precision", False) else jnp.float32,
     )
 
 
@@ -63,4 +68,5 @@ def build_discriminator(config: Mapping[str, Any]) -> Discriminator:
         verification=mc.get("verification", False),
         verification_res_split=mc.get("verification_res_split"),
         verification_dim=mc.get("verification_dim", 128),
+        dtype=jnp.bfloat16 if mc.get("mixed_precision", False) else jnp.float32,
     )

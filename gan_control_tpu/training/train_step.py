@@ -126,6 +126,10 @@ def _attr_losses_for_batch(
     static spec tables — one compile covers every placement."""
     total = jnp.zeros((), jnp.float32)
     metrics = {}
+    # predictors always run float32: the contrastive thresholds
+    # (lower/upper_thres) were calibrated on float32 feature distances, so
+    # a bf16 generator hands the battery full-precision images
+    images = images.astype(jnp.float32)
     mb = images.shape[0] // num_mini
     for al in attr_losses:
 
@@ -383,7 +387,10 @@ def make_train_steps(
                     input_is_latent=True,
                     rngs={"noise": r_noise},
                 )
-                return img
+                # float32 for the noise-product reduction: the path-length
+                # statistic sums ~1e7 elements, which a bf16 accumulator
+                # cannot do accurately under mixed precision
+                return img.astype(jnp.float32)
 
             w_list = [
                 generator.apply(g_params, z, method=type(generator).map_latent)

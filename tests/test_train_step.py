@@ -234,3 +234,72 @@ def test_g_step_random_arrangements_recompile_free(setup):
     assert not np.allclose(
         np.asarray(m1["g_embedding_loss"]), np.asarray(m2["g_embedding_loss"])
     )
+
+
+def test_mixed_precision_training_cycle():
+    """bf16 G synthesis + D pyramid with f32 params/losses: all four steps
+    run, losses are finite f32, params and EMA stay f32, D logits are f32
+    (factory wires model_config.mixed_precision to both dtypes)."""
+    from gan_control_tpu.models.factory import build_discriminator, build_generator
+
+    spec = tiny_spec()
+    config = {
+        "model_config": {
+            "size": SIZE, "latent_size": STYLE, "n_mlp": 2,
+            "max_channels": 32, "split_fc": True, "mixed_precision": True,
+        },
+        "training_config": {"mini_batch": BATCH, "sub_groups_dict": {}},
+    }
+    gen = build_generator(config, spec)
+    disc = build_discriminator(config)
+    assert gen.dtype == jnp.bfloat16 and disc.dtype == jnp.bfloat16
+
+    tc = {"lr_g": 2e-3, "lr_d": 2e-3, "g_reg_every": 4, "d_reg_every": 16}
+    g_tx, d_tx = make_gan_optimizers(tc)
+    cfg = TrainStepConfig(batch=BATCH, mini_batch=BATCH, style_dim=STYLE)
+    attr = (
+        AttributeLossSpec(
+            name="embedding_loss",
+            group="id",
+            cfg=ContrastiveConfig(
+                intermediate_weights=(0.5,), last_layer_weight=1.0,
+                lower_thres=(0.1,), upper_thres=(0.5,),
+                last_lower_thres=0.1, last_upper_thres=1.0,
+                focus_on=("not_same_as_last_layer", "same_as_last_layer"),
+            ),
+            feature_fn=fake_predictor_features,
+            dist_fn=pairwise_sq_l2,
+        ),
+    )
+    steps = make_train_steps(gen, disc, cfg, spec=spec, attr_losses=attr,
+                             g_tx=g_tx, d_tx=d_tx)
+    state = init_gan_state(gen, disc, g_tx, d_tx, jax.random.PRNGKey(0),
+                           style_dim=STYLE)
+    # params are float32 even though compute is bf16
+    for leaf in jax.tree_util.tree_leaves(state.g_params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.d_params):
+        assert leaf.dtype == jnp.float32
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, STYLE))
+    real = jax.random.normal(jax.random.PRNGKey(2), (BATCH, SIZE, SIZE, 3)) * 0.1
+    pred_params = {"embedding_loss": {}}
+
+    # the generator really synthesizes in bf16
+    img, _ = gen.apply(state.g_params, [z], rngs={"noise": jax.random.PRNGKey(3)})
+    assert img.dtype == jnp.bfloat16
+    logit, _ = disc.apply(state.d_params, img)
+    assert logit.dtype == jnp.float32
+
+    state, dm = jax.jit(steps["d_step"])(state, real, (z,))
+    state, rm = jax.jit(steps["d_reg_step"])(state, real)
+    state, gm = jax.jit(steps["g_step"])(state, (z,), pred_params)
+    state, pm = jax.jit(steps["g_reg_step"])(state, (z[: BATCH // 2],))
+    for v in (dm["d_loss"], rm["d_r1_loss"], gm["g_loss"],
+              gm["g_embedding_loss"], pm["g_path_loss"]):
+        assert jnp.isfinite(v), v
+        assert v.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.g_params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.g_ema):
+        assert leaf.dtype == jnp.float32

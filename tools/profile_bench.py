@@ -14,6 +14,7 @@ import sys
 import time
 
 os.environ.setdefault("GANCTL_LOG_STDERR", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -81,6 +82,8 @@ def profile_train():
     config = read_json(os.path.join(here, "gan_control_tpu", "configs", "ffhq.json"))
     tc = dict(config["training_config"])
     mc = dict(config["model_config"]); mc["remat"] = True
+    if os.environ.get("PROFILE_MP", "0") == "1":
+        mc["mixed_precision"] = True
     config = dict(config); config["model_config"] = mc; config["training_config"] = tc
 
     batch = int(os.environ.get("BENCH_TRAIN_BATCH", tc["batch"]))
@@ -94,13 +97,14 @@ def profile_train():
                           style_dim=mc.get("latent_size", 512),
                           remat_predictors=True)
 
-    steps_full = make_train_steps(gen, disc, cfg, spec=spec,
-                                  attr_losses=attr_losses, g_tx=g_tx, d_tx=d_tx)
-    steps_noattr = make_train_steps(gen, disc, cfg, spec=spec,
-                                    attr_losses=(), g_tx=g_tx, d_tx=d_tx)
-    d_step = jax.jit(steps_full["d_step"])
-    g_full = jax.jit(steps_full["g_step"])
-    g_adv = jax.jit(steps_noattr["g_step"])
+    which = os.environ.get("PROFILE_TRAIN_STEP", "d")  # d | g_adv | g_full
+    use_attr = which == "g_full"
+    steps = make_train_steps(gen, disc, cfg, spec=spec,
+                             attr_losses=attr_losses if use_attr else (),
+                             g_tx=g_tx, d_tx=d_tx)
+    # donation mirrors bench.py: state buffers are reused across iters
+    step = jax.jit(steps["d_step" if which == "d" else "g_step"],
+                   donate_argnums=(0,))
 
     state = init_gan_state(gen, disc, g_tx, d_tx, jax.random.PRNGKey(0),
                            style_dim=cfg.style_dim)
@@ -108,28 +112,20 @@ def profile_train():
     real = jnp.asarray(rng.standard_normal((batch, size, size, 3)).astype(np.float32))
     z = jnp.asarray(rng.standard_normal((batch, cfg.style_dim)).astype(np.float32))
 
-    def run_d():
-        s, m = d_step(state, real, (z,))
-        float(m["d_loss"])
-
-    def run_g_full():
-        s, m = g_full(state, (z,), pred_params)
-        float(m["g_loss"])
-
-    def run_g_adv():
-        s, m = g_adv(state, (z,), {})
-        float(m["g_loss"])
-
-    t_d = _median_time(run_d, n=6, warmup=1)
-    t_g_adv = _median_time(run_g_adv, n=6, warmup=1)
-    t_g_full = _median_time(run_g_full, n=6, warmup=1)
-    it = t_d + t_g_full
-    print(f"train batch={batch} size={size}")
-    print(f"  d_step           : {t_d*1e3:8.1f} ms")
-    print(f"  g_step adv-only  : {t_g_adv*1e3:8.1f} ms")
-    print(f"  g_step full batt.: {t_g_full*1e3:8.1f} ms")
-    print(f"  predictor battery: {(t_g_full-t_g_adv)*1e3:8.1f} ms")
-    print(f"  iter (d+g)       : {it*1e3:8.1f} ms -> {batch/it:.1f} imgs/s")
+    n, warm = 8, 2
+    for i in range(n + warm):
+        if i == warm:
+            t0 = time.perf_counter()
+        if which == "d":
+            state, m = step(state, real, (z,))
+            key = "d_loss"
+        else:
+            state, m = step(state, (z,), pred_params if use_attr else {})
+            key = "g_loss"
+        float(m[key])
+    dt = (time.perf_counter() - t0) / n
+    print(f"train step={which} batch={batch} size={size}: {dt*1e3:8.1f} ms "
+          f"({batch/dt:.1f} imgs/s)")
 
 
 if __name__ == "__main__":
