@@ -91,7 +91,13 @@ def bench_generation(on_tpu: bool) -> dict:
     }
 
 
-def bench_train(on_tpu: bool) -> dict:
+def build_train_harness(on_tpu: bool, attr: bool = True) -> dict:
+    """FFHQ phase-1 step harness shared by bench_train and
+    tools/profile_bench.py. Env knobs: BENCH_TRAIN_MP (default 1: bf16 G/D
+    compute with f32 params/mapping/predictors/losses — measured vs f32 on
+    v5e: d_step 312->269 ms, g_step+battery 393->322 ms), BENCH_TRAIN_REMAT
+    (default: off under MP — bf16 activations fit batch 16/512² without the
+    remat memory plan, TRAINING.md guidance), BENCH_TRAIN_BATCH."""
     import jax
     import jax.numpy as jnp
 
@@ -110,14 +116,7 @@ def bench_train(on_tpu: bool) -> dict:
     tc = dict(config["training_config"])
     mc = dict(config["model_config"])
     if os.environ.get("BENCH_TRAIN_MP", "1") == "1":
-        # bf16 G/D compute (f32 params, mapping, predictor battery, losses
-        # and regularizers) — the TPU-native production configuration
-        # (model_config.mixed_precision). Measured vs f32 on v5e: d_step
-        # 312->269 ms, g_step+battery 393->322 ms. BENCH_TRAIN_MP=0 for f32.
         mc["mixed_precision"] = True
-    # backbone remat is the f32 memory plan; bf16 activations fit at
-    # batch 16/512² without it (TRAINING.md memory guidance). The caller's
-    # retry flips this on if the no-remat graph OOMs on a smaller chip.
     mc["remat"] = os.environ.get(
         "BENCH_TRAIN_REMAT", "0" if mc.get("mixed_precision") else "1"
     ) == "1"
@@ -130,7 +129,6 @@ def bench_train(on_tpu: bool) -> dict:
     config = dict(config); config["model_config"] = mc; config["training_config"] = tc
 
     batch = int(os.environ.get("BENCH_TRAIN_BATCH", tc["batch"]))  # 16
-    size = mc["size"]
     spec = build_group_spec(config)
     gen = build_generator(config, spec)
     disc = build_discriminator(config)
@@ -141,17 +139,28 @@ def bench_train(on_tpu: bool) -> dict:
         style_dim=mc.get("latent_size", 512),
         remat_predictors=True,
     )
-    steps = make_train_steps(gen, disc, cfg, spec=spec, attr_losses=attr_losses,
+    steps = make_train_steps(gen, disc, cfg, spec=spec,
+                             attr_losses=attr_losses if attr else (),
                              g_tx=g_tx, d_tx=d_tx)
-    d_step = jax.jit(steps["d_step"], donate_argnums=(0,))
-    g_step = jax.jit(steps["g_step"], donate_argnums=(0,))
-
     state = init_gan_state(gen, disc, g_tx, d_tx, jax.random.PRNGKey(0),
                            style_dim=cfg.style_dim)
     rng = np.random.default_rng(0)
+    size = mc["size"]
     real = jnp.asarray(rng.standard_normal((batch, size, size, 3)).astype(np.float32))
     zs = [jnp.asarray(rng.standard_normal((batch, cfg.style_dim)).astype(np.float32))
           for _ in range(4)]
+    return {"steps": steps, "state": state, "pred_params": pred_params,
+            "real": real, "zs": zs, "cfg": cfg, "batch": batch, "size": size}
+
+
+def bench_train(on_tpu: bool) -> dict:
+    import jax
+
+    h = build_train_harness(on_tpu)
+    batch, size = h["batch"], h["size"]
+    d_step = jax.jit(h["steps"]["d_step"], donate_argnums=(0,))
+    g_step = jax.jit(h["steps"]["g_step"], donate_argnums=(0,))
+    state, pred_params, real, zs = h["state"], h["pred_params"], h["real"], h["zs"]
 
     def one_iter(state, i):
         state, _ = d_step(state, real, (zs[i % 4],))

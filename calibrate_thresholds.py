@@ -31,6 +31,8 @@ from pathlib import Path
 
 import numpy as np
 
+from gan_control_tpu.evaluation.separability import separability_stats
+
 
 def per_layer_same_not_same(
     feature_chunks: list[list[np.ndarray]],
@@ -64,13 +66,7 @@ def per_layer_same_not_same(
             ]
             rows.append(np.concatenate(cols, axis=1))
         d = np.concatenate(rows, axis=0)
-        same = np.diag(d)
-        off = d[~np.eye(n, dtype=bool)].reshape(n, n - 1)
-        out.append({
-            "same": same,
-            "not_same": off.min(axis=1),  # 2nd best per query
-            "all_not_same": off.reshape(-1),
-        })
+        out.append(separability_stats(d))
     return out
 
 

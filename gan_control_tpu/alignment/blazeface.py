@@ -267,8 +267,14 @@ class BlazeFaceDetector:
         x = jnp.asarray(np.stack(crops), jnp.float32)
         raw_box, raw_score = self._fwd(self.params, x)
         raw_box = np.asarray(raw_box, np.float32)
-        scores = 1.0 / (1.0 + np.exp(-np.clip(np.asarray(raw_score, np.float32),
-                                              -SCORE_CLIP, SCORE_CLIP)))[..., 0]
+        clipped = np.clip(np.asarray(raw_score, np.float32), -SCORE_CLIP, SCORE_CLIP)
+        # numerically stable sigmoid: exp of a NEGATIVE magnitude only
+        # (exp(100) overflows float32; the reference rode the resulting inf)
+        scores = np.where(
+            clipped >= 0,
+            1.0 / (1.0 + np.exp(-np.abs(clipped))),
+            np.exp(-np.abs(clipped)) / (1.0 + np.exp(-np.abs(clipped))),
+        )[..., 0]
         boxes = decode_boxes(raw_box, self._anchors)
         results = []
         for i, img in enumerate(images_rgb_u8):

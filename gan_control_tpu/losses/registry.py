@@ -37,6 +37,7 @@ from gan_control_tpu.losses.contrastive import (
 )
 from gan_control_tpu.training.train_step import AttributeLossSpec
 from gan_control_tpu.utils.logging_utils import get_logger
+from gan_control_tpu.utils.weights import load_pretrained
 
 _log = get_logger(__name__)
 
@@ -90,16 +91,14 @@ def build_attr_losses(
         model = mod.make_model(block)
         rng, k = jax.random.split(rng)
         model_path = block.get("model_path", "")
-        if model_path.endswith(".msgpack") and os.path.exists(model_path):
-            # pre-converted by tools/convert_weights.py — no torch needed
-            import flax.serialization
-
-            _log.info("%s: loading converted weights from %s", loss_name, model_path)
-            with open(model_path, "rb") as f:
-                p = flax.serialization.msgpack_restore(f.read())
-        elif model_path and os.path.exists(model_path) and hasattr(mod, "convert_torch_weights"):
-            _log.info("%s: converting reference weights from %s", loss_name, model_path)
-            p = mod.convert_torch_weights(model, model_path)
+        convert_fn = (
+            (lambda path, mod=mod, model=model: mod.convert_torch_weights(model, path))
+            if hasattr(mod, "convert_torch_weights")
+            else None
+        )
+        p = load_pretrained(model_path, convert_fn)
+        if p is not None:
+            _log.info("%s: loaded pretrained weights from %s", loss_name, model_path)
         else:
             _log.warning(
                 "%s: pretrained weights not found at %r — using RANDOM weights "

@@ -457,23 +457,19 @@ class GeneratorTrainer:
                     "initialized InceptionV3 (smoke-test mode, not a real FID)"
                 )
                 params = init_params(jax.random.PRNGKey(42))
-            elif weights.endswith(".msgpack") and os.path.exists(weights):
-                import flax.serialization
-
-                with open(weights, "rb") as f:
-                    params = flax.serialization.msgpack_restore(f.read())
-            elif weights and os.path.exists(weights):
-                from gan_control_tpu.evaluation.inception import convert_torch_weights
-
-                params = convert_torch_weights(weights)
             else:
-                _log.warning(
-                    "fid enabled but fid.inception_weights %r missing — "
-                    "skipping FID (a randomly initialized InceptionV3 would "
-                    "make the number meaningless; see WEIGHTS.md)",
-                    weights,
-                )
-                return None
+                from gan_control_tpu.evaluation.inception import convert_torch_weights
+                from gan_control_tpu.utils.weights import load_pretrained
+
+                params = load_pretrained(weights, convert_torch_weights)
+                if params is None:
+                    _log.warning(
+                        "fid enabled but fid.inception_weights %r missing — "
+                        "skipping FID (a randomly initialized InceptionV3 would "
+                        "make the number meaningless; see WEIGHTS.md)",
+                        weights,
+                    )
+                    return None
             self._fid_feature_fn = fid_lib.make_feature_fn(params)
         batch = self.tc["batch"]
         g_ema = self.state.g_ema

@@ -126,10 +126,20 @@ def _inception_entry():
 
 def _lpips_entry():
     def convert(path):
-        # path = lin weights; the vgg backbone is picked up from the same root
+        # path = lin weights; the vgg16 backbone must live next to them or
+        # one directory up (e.g. root/lpips/vgg.pth + root/vgg16-*.pth)
         from gan_control_tpu.projection import lpips
 
-        vgg = _find(os.path.dirname(path), ["vgg16*.pth"])
+        base = os.path.dirname(path)
+        vgg = _find(base, ["vgg16*.pth"]) or _find(
+            os.path.dirname(base) or ".", ["vgg16*.pth"]
+        )
+        if vgg is None:
+            raise FileNotFoundError(
+                f"lpips lin weights found at {path} but no vgg16*.pth backbone "
+                f"near it — converting without it would silently produce a "
+                f"randomly-initialized LPIPS (see WEIGHTS.md)"
+            )
         return lpips.convert_torch_weights(vgg, path)
 
     def probe(params):
@@ -182,11 +192,19 @@ def _find(root: str, patterns) -> str | None:
 
 def _sha256(path: str) -> str:
     h = hashlib.sha256()
-    if os.path.isdir(path):
-        for f in sorted(glob.glob(os.path.join(path, "*"))):
-            h.update(open(f, "rb").read())
-    else:
-        h.update(open(path, "rb").read())
+    files = (
+        sorted(
+            f
+            for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    for fp in files:
+        with open(fp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 22), b""):
+                h.update(chunk)
     return h.hexdigest()
 
 
@@ -257,7 +275,12 @@ def main(argv=None):
             missing.append((name, spec["patterns"][0]))
             continue
         print(f"converting {name} from {src} ...")
-        params = spec["convert"](src)
+        try:
+            params = spec["convert"](src)
+        except FileNotFoundError as e:
+            print(f"  SKIP {name}: {e}")
+            missing.append((name, str(e)))
+            continue
         blob = flax.serialization.msgpack_serialize(
             flax.serialization.to_state_dict(params)
         )

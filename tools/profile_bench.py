@@ -68,49 +68,28 @@ def profile_generation():
 
 
 def profile_train():
+    """One step kind per process (holding several non-donated compiled
+    train graphs at once OOMs a 16GB chip). Knobs: PROFILE_TRAIN_STEP in
+    {d, g_adv, g_full}; the BENCH_TRAIN_* envs (bench.build_train_harness)
+    select precision/remat/batch exactly as bench.py would measure them."""
     import jax
-    import jax.numpy as jnp
 
-    from gan_control_tpu.losses.registry import build_attr_losses
-    from gan_control_tpu.models.factory import (
-        build_discriminator, build_generator, build_group_spec)
-    from gan_control_tpu.training.state import init_gan_state, make_gan_optimizers
-    from gan_control_tpu.training.train_step import TrainStepConfig, make_train_steps
-    from gan_control_tpu.utils.config import read_json
+    from bench import build_train_harness
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    config = read_json(os.path.join(here, "gan_control_tpu", "configs", "ffhq.json"))
-    tc = dict(config["training_config"])
-    mc = dict(config["model_config"]); mc["remat"] = True
-    if os.environ.get("PROFILE_MP", "0") == "1":
-        mc["mixed_precision"] = True
-    config = dict(config); config["model_config"] = mc; config["training_config"] = tc
-
-    batch = int(os.environ.get("BENCH_TRAIN_BATCH", tc["batch"]))
-    size = mc["size"]
-    spec = build_group_spec(config)
-    gen = build_generator(config, spec)
-    disc = build_discriminator(config)
-    g_tx, d_tx = make_gan_optimizers(tc)
-    attr_losses, pred_params = build_attr_losses(tc)
-    cfg = TrainStepConfig(batch=batch, mini_batch=tc["mini_batch"],
-                          style_dim=mc.get("latent_size", 512),
-                          remat_predictors=True)
+    # bench defaults to mixed precision; the profiler defaults to the f32
+    # plan so breakdowns compare against historical numbers unless asked
+    os.environ.setdefault("BENCH_TRAIN_MP", "0")
+    if os.environ.get("PROFILE_MP") == "1":
+        os.environ["BENCH_TRAIN_MP"] = "1"
 
     which = os.environ.get("PROFILE_TRAIN_STEP", "d")  # d | g_adv | g_full
-    use_attr = which == "g_full"
-    steps = make_train_steps(gen, disc, cfg, spec=spec,
-                             attr_losses=attr_losses if use_attr else (),
-                             g_tx=g_tx, d_tx=d_tx)
+    h = build_train_harness(on_tpu=True, attr=which == "g_full")
+    batch, size = h["batch"], h["size"]
     # donation mirrors bench.py: state buffers are reused across iters
-    step = jax.jit(steps["d_step" if which == "d" else "g_step"],
+    step = jax.jit(h["steps"]["d_step" if which == "d" else "g_step"],
                    donate_argnums=(0,))
-
-    state = init_gan_state(gen, disc, g_tx, d_tx, jax.random.PRNGKey(0),
-                           style_dim=cfg.style_dim)
-    rng = np.random.default_rng(0)
-    real = jnp.asarray(rng.standard_normal((batch, size, size, 3)).astype(np.float32))
-    z = jnp.asarray(rng.standard_normal((batch, cfg.style_dim)).astype(np.float32))
+    state, real = h["state"], h["real"]
+    z = h["zs"][0]
 
     n, warm = 8, 2
     for i in range(n + warm):
@@ -120,7 +99,7 @@ def profile_train():
             state, m = step(state, real, (z,))
             key = "d_loss"
         else:
-            state, m = step(state, (z,), pred_params if use_attr else {})
+            state, m = step(state, (z,), h["pred_params"] if which == "g_full" else {})
             key = "g_loss"
         float(m[key])
     dt = (time.perf_counter() - t0) / n
