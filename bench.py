@@ -6,6 +6,8 @@
 Headline metric (BASELINE.md): single-chip 512x512 generation throughput,
 target 200 imgs/sec/chip (driver BASELINE.json north star). Its JSON also
 embeds the train metric as extra keys so single-line consumers record both.
+The train bench runs FIRST (its fwd+bwd graphs set the HBM high-water
+mark and need a clean chip); generation prints last.
 
 Train metric (VERDICT r1 item 10): ONE phase-1 training iteration — D step
 + G step with the full FFHQ contrastive loss battery (6 predictors, random
@@ -199,9 +201,8 @@ def main():
     on_tpu = platform not in ("cpu",)
     _setup_jax(on_tpu)
 
-    # headline first (clean HBM), printed last
-    gen = bench_generation(on_tpu)
-
+    # train first: its fwd+bwd graphs are the HBM high-water mark and need
+    # the chip clean; generation (inference-only) runs comfortably after
     train = None
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
@@ -217,6 +218,8 @@ def main():
                     {"metric": "phase1_train_error", "error": str(e)[:200]}))
         if train:
             print(json.dumps(train))
+
+    gen = bench_generation(on_tpu)  # headline, printed last
 
     if train and "value" in train:
         gen["train_imgs_per_sec_per_chip"] = train["value"]
