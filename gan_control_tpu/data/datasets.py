@@ -162,7 +162,7 @@ def get_data_loader(
 ) -> Iterator[np.ndarray]:
     """Dispatch on data_set_name (reference GeneratorTrainer.init_data_set,
     generator_trainer.py:205-216). Prefers the native C++ decode pipeline
-    (native/gcdata.cpp) when built and the dataset is all-JPEG."""
+    (native/gcdata.cpp) when built and the dataset is JPEG/PNG."""
     name = data_config.get("data_set_name", "ffhq")
     if name == "synthetic" or not os.path.isdir(str(data_config.get("path", ""))):
         return synthetic_data_loader(batch_size, size, seed)
@@ -181,7 +181,9 @@ def get_data_loader(
             else:
                 paths = list_images(data_config["path"])
                 rrc_p = 0.0
-            if paths and all(p.suffix.lower() in (".jpg", ".jpeg") for p in paths):
+            if paths and all(
+                p.suffix.lower() in (".jpg", ".jpeg", ".png") for p in paths
+            ):
                 return nl.native_loader(
                     paths, size, batch_size,
                     workers=int(data_config.get("workers", 4)),

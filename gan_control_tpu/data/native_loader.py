@@ -1,8 +1,8 @@
 """ctypes bridge to the native C++ data loader (native/gcdata.cpp).
 
 The native backend replaces the reference's torch-DataLoader worker pool
-(ffhq_dataset.py 'workers': 32) with a C++ thread pool doing JPEG decode +
-random-resized-crop + bilinear resize + flip + [-1,1] normalization,
+(ffhq_dataset.py 'workers': 32) with a C++ thread pool doing JPEG/PNG
+decode + random-resized-crop + bilinear resize + flip + [-1,1] normalization,
 handing ready NHWC float32 batches to ``jax.device_put``. Falls back
 gracefully when the .so has not been built (``make -C native``)."""
 
@@ -53,7 +53,7 @@ def available() -> bool:
 
 
 def decode_one(path: str | Path, size: int) -> np.ndarray:
-    """Decode+resize one JPEG to [size,size,3] float32 in [-1,1]."""
+    """Decode+resize one JPEG/PNG to [size,size,3] float32 in [-1,1]."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("libgcdata.so not built (make -C native)")

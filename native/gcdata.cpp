@@ -1,7 +1,8 @@
 // gcdata — native data-loading backend for gan_control_tpu.
 //
 // Role: the runtime replacement for the reference's torch-DataLoader worker
-// pool (datasets/ffhq_dataset.py 'workers': 32): JPEG decode + optional
+// pool (datasets/ffhq_dataset.py 'workers': 32): JPEG/PNG decode (sniffed by
+// magic bytes — FFHQ/MetFaces ship PNGs, AFHQ JPEGs) + optional
 // random-resized-crop + bilinear resize + horizontal flip + [-1,1]
 // normalization, multithreaded in C++, producing ready NHWC float32 batches
 // the Python side hands straight to jax.device_put.
@@ -17,6 +18,7 @@
 #include <cstddef>
 #include <cstdio>
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <atomic>
@@ -75,6 +77,79 @@ bool decode_jpeg(const std::string& path, std::vector<uint8_t>* rgb, int* w,
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
   return true;
+}
+
+// Decode a PNG file to RGB8 (palette/gray/alpha/16-bit all normalized to
+// 8-bit RGB). Returns false on failure.
+bool decode_png(const std::string& path, std::vector<uint8_t>* rgb, int* w,
+                int* h) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  const png_uint_32 width = png_get_image_width(png, info);
+  const png_uint_32 height = png_get_image_height(png, info);
+  const int color = png_get_color_type(png, info);
+  const int depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+  if (png_get_rowbytes(png, info) != size_t(width) * 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return false;
+  }
+  *w = int(width);
+  *h = int(height);
+  rgb->resize(size_t(width) * height * 3);
+  std::vector<png_bytep> rows(height);
+  for (png_uint_32 y = 0; y < height; ++y)
+    rows[y] = rgb->data() + size_t(y) * width * 3;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  return true;
+}
+
+// Magic-byte dispatch: PNG signature vs JPEG SOI.
+bool decode_image(const std::string& path, std::vector<uint8_t>* rgb, int* w,
+                  int* h) {
+  static const uint8_t png_sig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+                                     0x0a};
+  uint8_t head[8] = {0};
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  size_t n = fread(head, 1, sizeof(head), f);
+  fclose(f);
+  if (n >= 8 && std::memcmp(head, png_sig, 8) == 0)
+    return decode_png(path, rgb, w, h);
+  if (n >= 2 && head[0] == 0xFF && head[1] == 0xD8)
+    return decode_jpeg(path, rgb, w, h);
+  return false;
 }
 
 // Bilinear resample the rect [sx0,sy0,sw,sh] of src (w x h RGB8) to an
@@ -137,7 +212,7 @@ struct Loader {
         for (int attempt = 0; attempt < 16; ++attempt) {
           const std::string& p = paths[rng() % paths.size()];
           int w, h;
-          if (!decode_jpeg(p, &rgb, &w, &h)) continue;
+          if (!decode_image(p, &rgb, &w, &h)) continue;
           int sx0 = 0, sy0 = 0, sw = w, sh = h;
           if (rrc_p > 0 && uni(rng) < rrc_p) {
             float scale = 0.8f + 0.2f * uni(rng);
@@ -208,7 +283,7 @@ void gc_loader_destroy(void* handle) {
 int gc_decode_one(const char* path, int size, float* out) {
   std::vector<uint8_t> rgb;
   int w, h;
-  if (!decode_jpeg(path, &rgb, &w, &h)) return 1;
+  if (!decode_image(path, &rgb, &w, &h)) return 1;
   resize_normalize(rgb.data(), w, h, 0, 0, w, h, size, false, out);
   return 0;
 }

@@ -54,3 +54,51 @@ def test_native_loader_stream(jpeg_dir):
     assert b1.min() >= -1.001 and b1.max() <= 1.001
     assert not np.allclose(b1, b2)  # stream advances
     it.close()
+
+
+def test_decode_one_png_exact_vs_jpeg_source(tmp_path):
+    """PNG decode path: lossless round-trip means the native PNG decode +
+    identity-size resize must reproduce the source array exactly."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    arr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(arr).save(p)
+    got = native_loader.decode_one(p, 32)
+    want = arr.astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_decode_one_png_gray_and_alpha(tmp_path):
+    """Gray and RGBA PNGs normalize to RGB like PIL convert('RGB')."""
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    gray = (rng.random((16, 16)) * 255).astype(np.uint8)
+    pg = tmp_path / "gray.png"
+    Image.fromarray(gray, mode="L").save(pg)
+    got = native_loader.decode_one(pg, 16)
+    want = np.repeat(gray[..., None], 3, axis=-1).astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    rgba = (rng.random((16, 16, 4)) * 255).astype(np.uint8)
+    pa = tmp_path / "rgba.png"
+    Image.fromarray(rgba, mode="RGBA").save(pa)
+    got = native_loader.decode_one(pa, 16)
+    want = rgba[..., :3].astype(np.float32) / 127.5 - 1.0  # alpha stripped
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_native_loader_mixed_jpeg_png_stream(jpeg_dir, tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    png = tmp_path / "img.png"
+    Image.fromarray((rng.random((48, 48, 3)) * 255).astype(np.uint8)).save(png)
+    paths = sorted(jpeg_dir.glob("*.jpg")) + [png]
+    it = native_loader.native_loader(paths, size=32, batch_size=8, workers=2, seed=2)
+    b = next(it)
+    assert b.shape == (8, 32, 32, 3)
+    assert np.isfinite(b).all()
+    it.close()
