@@ -136,6 +136,12 @@ class GeneratorTrainer:
         augment_fn = None
         if self.step_cfg.ada_enabled:
             from gan_control_tpu.training.ada import augment as augment_fn
+        # The R1/path-length double-backprop graphs are the 512² HBM
+        # high-water mark (the d/g steps fit without remat under bf16, the
+        # reg steps do not): run JUST the reg steps on remat'ed module
+        # clones (identical params/numerics). model_config.remat_reg=false
+        # opts out; moot when the whole model already remats.
+        remat_reg = mc.get("remat_reg", True) and not mc.get("remat", False)
         steps = make_train_steps(
             self.generator,
             self.discriminator,
@@ -145,6 +151,10 @@ class GeneratorTrainer:
             g_tx=self.g_tx,
             d_tx=self.d_tx,
             augment_fn=augment_fn,
+            generator_reg=self.generator.clone(remat=True) if remat_reg else None,
+            discriminator_reg=(
+                self.discriminator.clone(remat=True) if remat_reg else None
+            ),
         )
         donate = {"donate_argnums": (0,)}
         self._d_step = jax.jit(steps["d_step"], **donate)

@@ -170,6 +170,8 @@ def make_train_steps(
     d_tx: optax.GradientTransformation | None = None,
     augment_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array] | None = None,
     shared_feature_fns: Mapping[str, Callable] | None = None,
+    generator_reg=None,
+    discriminator_reg=None,
 ):
     """Build the four jitted update functions.
 
@@ -181,10 +183,19 @@ def make_train_steps(
         shared (recon-3d sub-losses) should pre-slice inside feature_fn.
       g_tx / d_tx: optax optimizers (reg-ratio-scaled Adam by default caller).
       augment_fn: ADA hook (images, p, rng) -> images, applied to D inputs.
+      generator_reg / discriminator_reg: optional module variants used ONLY
+        by the regularizer steps (same param pytree — e.g.
+        ``generator.clone(remat=True)``). The R1 / path-length double
+        backprops are the HBM high-water mark at 512²; rematerializing just
+        those graphs lets the hot d/g steps run without remat.
 
     Returns dict with 'd_step', 'd_reg_step', 'g_step', 'g_reg_step'. All
     take/return GANTrainState as first arg (donated by the caller's jit).
     """
+    generator_reg = generator_reg if generator_reg is not None else generator
+    discriminator_reg = (
+        discriminator_reg if discriminator_reg is not None else discriminator
+    )
     num_mini = cfg.batch // cfg.mini_batch
     assert cfg.batch % cfg.mini_batch == 0
     if not cfg.vanilla:
@@ -319,7 +330,7 @@ def make_train_steps(
 
         def loss_fn(d_params):
             def logit(x):
-                pred, _ = discriminator.apply(d_params, x)
+                pred, _ = discriminator_reg.apply(d_params, x)
                 return pred
 
             r1 = r1_penalty(logit, real_img)
@@ -386,7 +397,7 @@ def make_train_steps(
 
         def loss_fn(g_params):
             def synth(latent):
-                img, _ = generator.apply(
+                img, _ = generator_reg.apply(
                     g_params,
                     [latent],
                     input_is_latent=True,

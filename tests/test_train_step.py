@@ -303,3 +303,39 @@ def test_mixed_precision_training_cycle():
         assert leaf.dtype == jnp.float32
     for leaf in jax.tree_util.tree_leaves(state.g_ema):
         assert leaf.dtype == jnp.float32
+
+
+def test_reg_steps_with_remat_variants_match(setup):
+    """g_reg/d_reg on generator.clone(remat=True)/discriminator.clone(
+    remat=True) are numerically identical to the plain modules (remat
+    changes the backward schedule, not the math) — the per-step remat plan
+    the trainer uses at 512²."""
+    spec, gen, disc, steps, state = setup
+    tc = {"lr_g": 2e-3, "lr_d": 2e-3, "g_reg_every": 4, "d_reg_every": 16}
+    g_tx, d_tx = make_gan_optimizers(tc)
+    cfg = TrainStepConfig(batch=BATCH, mini_batch=BATCH, style_dim=STYLE)
+    steps_reg = make_train_steps(
+        gen, disc, cfg, spec=spec, attr_losses=(), g_tx=g_tx, d_tx=d_tx,
+        generator_reg=gen.clone(remat=True),
+        discriminator_reg=disc.clone(remat=True),
+    )
+    steps_plain = make_train_steps(
+        gen, disc, cfg, spec=spec, attr_losses=(), g_tx=g_tx, d_tx=d_tx,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(5), (BATCH, STYLE))
+    real = jax.random.normal(jax.random.PRNGKey(6), (BATCH, SIZE, SIZE, 3)) * 0.1
+
+    s_a, m_a = jax.jit(steps_reg["g_reg_step"])(state, (z,))
+    s_b, m_b = jax.jit(steps_plain["g_reg_step"])(state, (z,))
+    np.testing.assert_allclose(
+        float(m_a["g_path_loss"]), float(m_b["g_path_loss"]), rtol=1e-5
+    )
+    la = jax.tree_util.tree_leaves(s_a.g_params)[0]
+    lb = jax.tree_util.tree_leaves(s_b.g_params)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+    s_a, m_a = jax.jit(steps_reg["d_reg_step"])(state, real)
+    s_b, m_b = jax.jit(steps_plain["d_reg_step"])(state, real)
+    np.testing.assert_allclose(
+        float(m_a["d_r1_loss"]), float(m_b["d_r1_loss"]), rtol=1e-5
+    )
