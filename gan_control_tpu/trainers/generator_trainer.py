@@ -357,22 +357,28 @@ class GeneratorTrainer:
 
     # -- periodic evaluation (reference end_iter_update, :721-748) ----------
 
+    def _eval_due(self, i: int, interval: int) -> bool:
+        """Reference tracker.py:132-158: every configured interval, and in
+        debug mode additionally every 100 iterations."""
+        if i <= self.start_iter:
+            return False
+        if self.tc.get("debug") and i % 100 == 0:
+            return True
+        return i % interval == 0
+
     def evaluate(self, i: int):
         if (
             self.fid_cfg.get("enabled")
             and self.save_dir is not None
-            and i > self.start_iter
-            and i % self.fid_cfg.get("fid_interval", 10000) == 0
+            and self._eval_due(i, self.fid_cfg.get("fid_interval", 10000))
         ):
             fid = self.evaluate_fid()
             if fid is not None:
                 is_best = self.tracker.register_fid(i, fid)
                 if is_best:
                     self.save_nets(i, name="best_fid")
-        if (
-            self.separability_cfg.get("enabled")
-            and i > self.start_iter
-            and i % self.separability_cfg.get("separability_interval", 30000) == 0
+        if self.separability_cfg.get("enabled") and self._eval_due(
+            i, self.separability_cfg.get("separability_interval", 30000)
         ):
             self.evaluate_separability(i)
         ec = self.config.get("evaluation_config", {})
@@ -382,8 +388,7 @@ class GeneratorTrainer:
             if (
                 kc.get("enabled")
                 and self.save_dir is not None
-                and i > self.start_iter
-                and i % kc.get(f"{kind}_interval", 30000) == 0
+                and self._eval_due(i, kc.get(f"{kind}_interval", 30000))
             ):
                 self.evaluate_attribute_hist(i, kind, loss_name, kc)
 
