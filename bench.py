@@ -117,10 +117,11 @@ def build_train_harness(on_tpu: bool, attr: bool = True) -> dict:
     config = read_json(os.path.join(here, "gan_control_tpu", "configs", "ffhq.json"))
     tc = dict(config["training_config"])
     mc = dict(config["model_config"])
-    if os.environ.get("BENCH_TRAIN_MP", "1") == "1":
-        mc["mixed_precision"] = True
+    # unconditional assignment: the shipped config now sets
+    # mixed_precision=true itself, and BENCH_TRAIN_MP=0 must still mean f32
+    mc["mixed_precision"] = os.environ.get("BENCH_TRAIN_MP", "1") == "1"
     mc["remat"] = os.environ.get(
-        "BENCH_TRAIN_REMAT", "0" if mc.get("mixed_precision") else "1"
+        "BENCH_TRAIN_REMAT", "0" if mc["mixed_precision"] else "1"
     ) == "1"
     if not on_tpu:
         # 1-CPU sanity path: tiny shapes, one predictor
@@ -219,7 +220,16 @@ def main():
         if train:
             print(json.dumps(train))
 
-    gen = bench_generation(on_tpu)  # headline, printed last
+    # headline, printed last. Generation-only retry at a quarter batch for
+    # smaller chips — the train bench already printed and must not re-run
+    # (its metric line would double and waste minutes of recompilation).
+    try:
+        gen = bench_generation(on_tpu)
+    except Exception:
+        if "BENCH_BATCH" in os.environ:
+            raise
+        os.environ["BENCH_BATCH"] = "32"
+        gen = bench_generation(on_tpu)
 
     if train and "value" in train:
         gen["train_imgs_per_sec_per_chip"] = train["value"]
@@ -228,12 +238,4 @@ def main():
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception:
-        # robustness for smaller chips: retry at a quarter of the batch
-        if "BENCH_BATCH" not in os.environ:
-            os.environ["BENCH_BATCH"] = "32"
-            main()
-        else:
-            raise
+    main()

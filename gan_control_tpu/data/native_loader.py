@@ -15,6 +15,16 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
+from gan_control_tpu.utils.logging_utils import get_logger
+
+_log = get_logger(__name__)
+
+# Minimum native ABI this bridge understands (2 = PNG decode + failed-slot
+# accounting). A stale pre-PNG .so is treated as NOT AVAILABLE — the Python
+# fallback loader is used and the user is told to `make -C native` —
+# instead of silently feeding zero-filled batches for PNG datasets.
+_MIN_ABI = 2
+
 _LIB_PATHS = [
     Path(__file__).resolve().parents[2] / "native" / "libgcdata.so",
     Path(os.environ.get("GCDATA_LIB", "")),
@@ -30,6 +40,22 @@ def load_library():
     for p in _LIB_PATHS:
         if p and p.is_file():
             lib = ctypes.CDLL(str(p))
+            if not hasattr(lib, "gc_abi_version"):
+                _log.warning(
+                    "%s predates the supported native ABI — rebuild with "
+                    "`make -C native` (falling back to the Python loader)", p
+                )
+                continue
+            lib.gc_abi_version.restype = ctypes.c_long
+            if lib.gc_abi_version() < _MIN_ABI:
+                _log.warning(
+                    "%s has native ABI %d < %d — rebuild with `make -C "
+                    "native` (falling back to the Python loader)",
+                    p, lib.gc_abi_version(), _MIN_ABI,
+                )
+                continue
+            lib.gc_loader_failed_slots.restype = ctypes.c_long
+            lib.gc_loader_failed_slots.argtypes = [ctypes.c_void_p]
             lib.gc_loader_create.restype = ctypes.c_void_p
             lib.gc_loader_create.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -88,6 +114,7 @@ def native_loader(
     if not handle:
         raise RuntimeError("gc_loader_create failed")
     try:
+        failed_seen = 0
         while True:
             out = np.empty((batch_size, size, size, 3), np.float32)
             rc = lib.gc_loader_next(
@@ -95,6 +122,20 @@ def native_loader(
             )
             if rc != 0:
                 return
+            failed = int(lib.gc_loader_failed_slots(handle))
+            if failed > failed_seen:
+                delta = failed - failed_seen
+                failed_seen = failed
+                if delta >= batch_size:
+                    raise RuntimeError(
+                        f"native loader: {delta} consecutive image slots "
+                        f"failed to decode (corrupt/unsupported dataset?) — "
+                        f"refusing to train on zero-filled batches"
+                    )
+                _log.warning(
+                    "native loader: %d image slot(s) failed to decode and "
+                    "were zero-filled (total %d)", delta, failed
+                )
             yield out
     finally:
         lib.gc_loader_destroy(handle)

@@ -27,6 +27,12 @@ ConvLayer path at C>=128) and as the insertion point if a future profile
 shows an XLA fusion break. The big resampling win is elsewhere: the
 modulated up/down convs fold their FIR into the conv kernel itself
 (ops/modulated_conv.py), which removed the hot-path blurs entirely.
+
+Precision (measured on v5e vs a float64 oracle, tools/pallas_tpu_smoke.py):
+the Mosaic kernels do TRUE f32 VPU arithmetic — max err 4.3e-7 — while the
+lax conv path inherits the TPU conv unit's default bf16-multiply precision
+(max err 9.4e-3 up / 3.0e-3 down). Where exact-f32 resampling matters,
+the Pallas path is the accurate one, not just the fused one.
 """
 
 from __future__ import annotations
@@ -97,28 +103,28 @@ def fused_bias_act(
 # ---------------------------------------------------------------------------
 
 
-def _blur_down_kernel(x_ref, o_ref, *, taps, h_out, w_out):
-    """One batch-row block: H-pass FIR+decimate, then W-pass — fully
-    vectorized as shifted strided slices (no per-row unrolling: a Python
-    loop over 256+ rows would explode the Mosaic program).
+def _blur_down_kernel(p00_ref, p01_ref, p10_ref, p11_ref, o_ref, *, taps,
+                      h_out, w_out):
+    """Polyphase 2x FIR downsample on PRE-DEINTERLEAVED input phases.
 
-    Input block: [1, H+2, W+2, C] (pre-padded); output [1, h_out, w_out, C].
+    out[u, v] = sum_{i,j in 0..3} taps[i]*taps[j] * xp[2u+i, 2v+j]
+    With the four phase planes P_ab = xp[a::2, b::2] (deinterleaved in XLA
+    — Mosaic cannot lower stride-2 vector slices), term (i, j) is the
+    STATIC slice P_{i%2, j%2}[u + i//2, v + j//2]: 16 shifted
+    multiply-accumulates, no strided access, no transposes.
+
+    Phase blocks: [1, (H+2)/2, (W+2)/2, C]; output [1, h_out, w_out, C].
     """
-    x = x_ref[0]  # [H+2, W+2, C]
-    t0, t1, t2, t3 = taps
-
-    def fir_down(v, n):  # stride-2 4-tap along axis 0: taps at t, t+2, ...
-        return (
-            t0 * jax.lax.slice_in_dim(v, 0, 2 * n - 1, 2, axis=0)
-            + t1 * jax.lax.slice_in_dim(v, 1, 2 * n, 2, axis=0)
-            + t2 * jax.lax.slice_in_dim(v, 2, 2 * n + 1, 2, axis=0)
-            + t3 * jax.lax.slice_in_dim(v, 3, 2 * n + 2, 2, axis=0)
-        )
-
-    y = fir_down(x, h_out)  # [h_out, W+2, C]
-    yt = jnp.swapaxes(y, 0, 1)  # [W+2, h_out, C]
-    zt = fir_down(yt, w_out)  # [w_out, h_out, C]
-    o_ref[0] = jnp.swapaxes(zt, 0, 1)
+    refs = ((p00_ref, p01_ref), (p10_ref, p11_ref))
+    acc = None
+    for i in range(4):
+        for j in range(4):
+            v = refs[i % 2][j % 2][
+                0, i // 2 : i // 2 + h_out, j // 2 : j // 2 + w_out, :
+            ]
+            term = (taps[i] * taps[j]) * v
+            acc = term if acc is None else acc + term
+    o_ref[0] = acc
 
 
 def blur2x_down(x: jax.Array, kernel_1d) -> jax.Array:
@@ -132,50 +138,59 @@ def blur2x_down(x: jax.Array, kernel_1d) -> jax.Array:
     n, h, w, c = x.shape
     h_out, w_out = h // 2, w // 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # deinterleave even/odd rows x cols in XLA (one strided-gather pass)
+    phases = [xp[:, a::2, b::2, :] for a in (0, 1) for b in (0, 1)]
+    hp, wp = (h + 2) // 2, (w + 2) // 2
+    phase_spec = pl.BlockSpec(
+        (1, hp, wp, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         functools.partial(_blur_down_kernel, taps=taps, h_out=h_out, w_out=w_out),
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, c), x.dtype),
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
+        in_specs=[phase_spec] * 4,
         out_specs=pl.BlockSpec(
             (1, h_out, w_out, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
-    )(xp)
+    )(*phases)
 
 
-def _blur_up_kernel(x_ref, o_ref, *, taps_even, taps_odd, h, w):
-    """2x upsample + 4-tap FIR, separable, polyphase.
+def _blur_up_kernel(coef_ref, off_ref, x_ref, o_ref, *, h, w):
+    """2x upsample + 4-tap FIR in DIRECT POLYPHASE form, ONE PHASE per
+    grid program.
 
     With the zero-stuffed signal only every other tap hits data, so each
-    output phase is a 2-tap filter (see blur2x_up for the derivation):
+    output phase along one axis is a 2-tap filter (see blur2x_up for the
+    derivation):
       out[2u]   = e0 * x[u-1] + e1 * x[u]
       out[2u+1] = o0 * x[u]   + o1 * x[u+1]
-    Input block [1, H+2, W+2, C] (padded 1 low + 1 high); x[u] lives at
-    xp[u+1]. Output [1, 2H, 2W, C].
+    A 2-D phase is therefore a 4-term sum of SHIFTED INPUT SLICES, computed
+    straight from the padded block — no transposes, no interleave stack, no
+    [2H, W] intermediate. The phase index lives on the GRID (grid=(n, 4))
+    with per-phase coefficients/offsets read from SMEM tables, so each
+    program holds only the input block plus ONE [H, W, C] phase plane
+    (earlier whole-array / 4-output formulations peaked ~28MB of scoped
+    VMEM at 64x64x128 and failed to compile on v5e).
+
+    coef_ref: SMEM [4, 4] phase coefficients; off_ref: SMEM [4, 4] int32
+    slice starts (oh0, oh1, ow0, ow1). Input block [1, H+2, W+2, C]
+    (padded 1 low + 1 high; x[u] -> xp[u+1]); output block [1, 1, H, W, C].
     """
-    x = x_ref[0]  # [H+2, W+2, C]
-    e0, e1 = taps_even
-    o0, o1 = taps_odd
+    p = pl.program_id(1)
+    oh0, oh1 = off_ref[p, 0], off_ref[p, 1]
+    ow0, ow1 = off_ref[p, 2], off_ref[p, 3]
 
-    def fir_up(v, n):  # axis 0: [n+2, ...] -> [2n, ...], interleaved phases
-        even = e0 * jax.lax.slice_in_dim(v, 0, n, axis=0) + e1 * jax.lax.slice_in_dim(
-            v, 1, n + 1, axis=0
-        )
-        odd = o0 * jax.lax.slice_in_dim(v, 1, n + 1, axis=0) + o1 * jax.lax.slice_in_dim(
-            v, 2, n + 2, axis=0
-        )
-        inter = jnp.stack([even, odd], axis=1)  # [n, 2, ...]
-        return inter.reshape((2 * n,) + v.shape[1:])
+    def sl(oh, ow):
+        # dynamic-start ref load (the Mosaic-supported dynamic slice form)
+        return x_ref[0, pl.ds(oh, h), pl.ds(ow, w), :]
 
-    y = fir_up(x, h)  # [2H, W+2, C]
-    yt = jnp.swapaxes(y, 0, 1)  # [W+2, 2H, C]
-    zt = fir_up(yt, w)  # [2W, 2H, C]
-    o_ref[0] = jnp.swapaxes(zt, 0, 1)
+    o_ref[0, 0] = (
+        coef_ref[p, 0] * sl(oh0, ow0)
+        + coef_ref[p, 1] * sl(oh0, ow1)
+        + coef_ref[p, 2] * sl(oh1, ow0)
+        + coef_ref[p, 3] * sl(oh1, ow1)
+    )
 
 
 def blur2x_up(x: jax.Array, kernel_1d) -> jax.Array:
@@ -192,26 +207,56 @@ def blur2x_up(x: jax.Array, kernel_1d) -> jax.Array:
     k = k / k.sum() * 2.0  # per-axis gain 2 (total 4 = factor^2)
     kc = k[::-1]  # correlation taps
     n, h, w, c = x.shape
-    taps_even = (float(kc[0]), float(kc[2]))
-    taps_odd = (float(kc[1]), float(kc[3]))
+    # per-axis (coefficient, offset-into-padded-x) pairs, phase 0 / 1
+    pairs = (((kc[0], 0), (kc[2], 1)), ((kc[1], 1), (kc[3], 2)))
+    coefs, offs = [], []
+    for a in range(2):
+        (ca0, ha0), (ca1, ha1) = pairs[a]
+        for b in range(2):
+            (cb0, wb0), (cb1, wb1) = pairs[b]
+            coefs.append([ca0 * cb0, ca0 * cb1, ca1 * cb0, ca1 * cb1])
+            offs.append([ha0, ha1, wb0, wb1])
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return pl.pallas_call(
-        functools.partial(
-            _blur_up_kernel, taps_even=taps_even, taps_odd=taps_odd, h=h, w=w
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, c), x.dtype),
-        grid=(n,),
+    phases = pl.pallas_call(
+        functools.partial(_blur_up_kernel, h=h, w=w),
+        out_shape=jax.ShapeDtypeStruct((n, 4, h, w, c), x.dtype),
+        grid=(n, 4),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            )
+                (1, h + 2, w + 2, c),
+                lambda i, p: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2 * h, 2 * w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, h, w, c), lambda i, p: (i, p, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
-    )(xp)
+    )(
+        jnp.asarray(coefs, x.dtype),
+        jnp.asarray(offs, jnp.int32),
+        xp,
+    )
+    # pixel-shuffle interleave (XLA, one pass): phase a*2+b -> out[2u+a, 2v+b]
+    row0 = jnp.stack([phases[:, 0], phases[:, 1]], axis=3).reshape(n, h, 2 * w, c)
+    row1 = jnp.stack([phases[:, 2], phases[:, 3]], axis=3).reshape(n, h, 2 * w, c)
+    return jnp.stack([row0, row1], axis=2).reshape(n, 2 * h, 2 * w, c)
 
 
 def pallas_enabled() -> bool:
     return os.environ.get("GANCTL_PALLAS", "0") == "1"
+
+
+# per-program VMEM footprint limit for the fused blur kernels: the input
+# block plus phase outputs must fit scoped VMEM (~16MB on v5e) with the
+# pipeline's double buffering; beyond this the dispatch falls back to the
+# lax conv path (which XLA tiles arbitrarily).
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def blur_fits_vmem(h: int, w: int, c: int, itemsize: int = 4) -> bool:
+    x_block = (h + 2) * (w + 2) * c * itemsize
+    phases = 4 * h * w * c * itemsize
+    return x_block + phases <= _VMEM_BUDGET_BYTES

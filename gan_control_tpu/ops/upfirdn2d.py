@@ -134,7 +134,7 @@ def _upfirdn2d_xla(x, kernel, up_xy, down_xy, pad_xyxy):
 _DEFAULT_TAPS = (1.0, 3.0, 3.0, 1.0)
 
 
-def _pallas_blur_wanted(kernel: jax.Array, factor: int) -> bool:
+def _pallas_blur_wanted(kernel: jax.Array, factor: int, x: jax.Array) -> bool:
     import os
 
     if not (
@@ -145,6 +145,11 @@ def _pallas_blur_wanted(kernel: jax.Array, factor: int) -> bool:
         and not isinstance(kernel, jax.core.Tracer)
     ):
         return False
+    from gan_control_tpu.ops.pallas_kernels import blur_fits_vmem
+
+    n, h, w, c = x.shape
+    if not blur_fits_vmem(h, w, c, x.dtype.itemsize):
+        return False  # per-program block would exceed scoped VMEM; lax tiles
     want = np.outer(_DEFAULT_TAPS, _DEFAULT_TAPS)
     want = want / want.sum()
     return bool(np.allclose(np.asarray(kernel, np.float32), want, atol=1e-6))
@@ -157,7 +162,7 @@ def upsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
     `kernel` is the normalized FIR filter from :func:`make_kernel`.
     With GANCTL_PALLAS=1 the separable 4-tap case runs the fused Pallas
     kernel (ops/pallas_kernels.py)."""
-    if _pallas_blur_wanted(kernel, factor):
+    if _pallas_blur_wanted(kernel, factor, x):
         from gan_control_tpu.ops.pallas_kernels import blur2x_up
 
         return blur2x_up(x, _DEFAULT_TAPS)
@@ -170,7 +175,7 @@ def upsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
 
 def downsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
     """FIR 2x downsampling (reference: Downsample, models/gan_model.py:92-110)."""
-    if _pallas_blur_wanted(kernel, factor):
+    if _pallas_blur_wanted(kernel, factor, x):
         from gan_control_tpu.ops.pallas_kernels import blur2x_down
 
         return blur2x_down(x, _DEFAULT_TAPS)

@@ -47,18 +47,15 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode a JPEG file to RGB8. Returns false on failure.
-bool decode_jpeg(const std::string& path, std::vector<uint8_t>* rgb, int* w,
-                 int* h) {
-  FILE* f = fopen(path.c_str(), "rb");
-  if (!f) return false;
+// Decode an already-open JPEG stream (positioned at offset 0) to RGB8.
+// Returns false on failure; the caller owns/closes `f`.
+bool decode_jpeg(FILE* f, std::vector<uint8_t>* rgb, int* w, int* h) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return false;
   }
   jpeg_create_decompress(&cinfo);
@@ -75,31 +72,26 @@ bool decode_jpeg(const std::string& path, std::vector<uint8_t>* rgb, int* w,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
   return true;
 }
 
-// Decode a PNG file to RGB8 (palette/gray/alpha/16-bit all normalized to
-// 8-bit RGB). Returns false on failure.
-bool decode_png(const std::string& path, std::vector<uint8_t>* rgb, int* w,
-                int* h) {
-  FILE* f = fopen(path.c_str(), "rb");
-  if (!f) return false;
+// Decode an already-open PNG stream (positioned at offset 0) to RGB8
+// (palette/gray/alpha/16-bit all normalized to 8-bit RGB). Returns false
+// on failure; the caller owns/closes `f`.
+bool decode_png(FILE* f, std::vector<uint8_t>* rgb, int* w, int* h) {
+  // declared BEFORE setjmp: longjmp must not jump over the construction of
+  // locals with non-trivial destructors (UB + leak on corrupt files)
+  std::vector<png_bytep> rows;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  if (!png) {
-    fclose(f);
-    return false;
-  }
+  if (!png) return false;
   png_infop info = png_create_info_struct(png);
   if (!info) {
     png_destroy_read_struct(&png, nullptr, nullptr);
-    fclose(f);
     return false;
   }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
-    fclose(f);
     return false;
   }
   png_init_io(png, f);
@@ -119,23 +111,22 @@ bool decode_png(const std::string& path, std::vector<uint8_t>* rgb, int* w,
   png_read_update_info(png, info);
   if (png_get_rowbytes(png, info) != size_t(width) * 3) {
     png_destroy_read_struct(&png, &info, nullptr);
-    fclose(f);
     return false;
   }
   *w = int(width);
   *h = int(height);
   rgb->resize(size_t(width) * height * 3);
-  std::vector<png_bytep> rows(height);
+  rows.resize(height);
   for (png_uint_32 y = 0; y < height; ++y)
     rows[y] = rgb->data() + size_t(y) * width * 3;
   png_read_image(png, rows.data());
   png_read_end(png, nullptr);
   png_destroy_read_struct(&png, &info, nullptr);
-  fclose(f);
   return true;
 }
 
-// Magic-byte dispatch: PNG signature vs JPEG SOI.
+// Magic-byte dispatch: PNG signature vs JPEG SOI. One open per image —
+// sniff 8 bytes, rewind, hand the same stream to the decoder.
 bool decode_image(const std::string& path, std::vector<uint8_t>* rgb, int* w,
                   int* h) {
   static const uint8_t png_sig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
@@ -144,12 +135,14 @@ bool decode_image(const std::string& path, std::vector<uint8_t>* rgb, int* w,
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   size_t n = fread(head, 1, sizeof(head), f);
-  fclose(f);
+  rewind(f);
+  bool ok = false;
   if (n >= 8 && std::memcmp(head, png_sig, 8) == 0)
-    return decode_png(path, rgb, w, h);
-  if (n >= 2 && head[0] == 0xFF && head[1] == 0xD8)
-    return decode_jpeg(path, rgb, w, h);
-  return false;
+    ok = decode_png(f, rgb, w, h);
+  else if (n >= 2 && head[0] == 0xFF && head[1] == 0xD8)
+    ok = decode_jpeg(f, rgb, w, h);
+  fclose(f);
+  return ok;
 }
 
 // Bilinear resample the rect [sx0,sy0,sw,sh] of src (w x h RGB8) to an
@@ -198,6 +191,9 @@ struct Loader {
   std::queue<std::vector<float>> ready;
   size_t max_ready = 4;
   std::atomic<bool> stop{false};
+  // slots left zero-filled because every decode attempt failed; consumers
+  // poll gc_loader_failed_slots and abort instead of training on black
+  std::atomic<long> failed_slots{0};
   uint64_t seed = 0;
 
   void worker(int tid) {
@@ -209,6 +205,7 @@ struct Loader {
       std::vector<float> batch_buf(img_floats * batch);
       for (int b = 0; b < batch; ++b) {
         // sample-with-replacement shuffle (infinite stream semantics)
+        bool filled = false;
         for (int attempt = 0; attempt < 16; ++attempt) {
           const std::string& p = paths[rng() % paths.size()];
           int w, h;
@@ -224,8 +221,10 @@ struct Loader {
           bool mirror = hflip && uni(rng) < 0.5f;
           resize_normalize(rgb.data(), w, h, sx0, sy0, sw, sh, size, mirror,
                            batch_buf.data() + img_floats * b);
+          filled = true;
           break;
         }
+        if (!filled) failed_slots.fetch_add(1);
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] { return ready.size() < max_ready || stop.load(); });
@@ -278,6 +277,16 @@ void gc_loader_destroy(void* handle) {
   ld->cv_space.notify_all();
   for (auto& t : ld->threads) t.join();
   delete ld;
+}
+
+// Bumped whenever the ABI or decode capabilities change (2 = PNG support +
+// failure accounting). The Python bridge refuses a stale .so lacking this
+// symbol / an older value, forcing `make -C native` instead of silently
+// degraded behavior.
+long gc_abi_version() { return 2; }
+
+long gc_loader_failed_slots(void* handle) {
+  return static_cast<Loader*>(handle)->failed_slots.load();
 }
 
 int gc_decode_one(const char* path, int size, float* out) {
