@@ -45,3 +45,23 @@ def test_blur2x_up_parity():
     got = blur2x_up(x, K)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_vmem_guard_dispatch(monkeypatch):
+    """The GANCTL_PALLAS dispatch falls back to the lax conv when the
+    per-program blur footprint would exceed scoped VMEM (the Mosaic OOM
+    guard), and takes the pallas path when it fits."""
+    from gan_control_tpu.ops.pallas_kernels import blur_fits_vmem
+    from gan_control_tpu.ops.upfirdn2d import _pallas_blur_wanted
+
+    monkeypatch.setenv("GANCTL_PALLAS", "1")
+    k = make_kernel(K)
+    small = jnp.zeros((1, 32, 32, 64), jnp.float32)
+    large = jnp.zeros((1, 512, 512, 128), jnp.float32)
+    assert blur_fits_vmem(32, 32, 64)
+    assert not blur_fits_vmem(512, 512, 128)
+    assert _pallas_blur_wanted(k, 2, small)
+    assert not _pallas_blur_wanted(k, 2, large)
+    # the large case still computes correctly through the lax path
+    out = upsample_2x(large[:, :64, :64, :32], k)
+    assert out.shape == (1, 128, 128, 32)
