@@ -250,3 +250,21 @@ def test_trainer_separability_buckets(tmp_path):
     )
     bucket = trainer.save_dir / "buckets" / "embedding_loss" / "000001.jpg"
     assert bucket.exists(), "worst-pair bucket grid not saved"
+
+
+def test_eval_due_debug_gates(tmp_path):
+    """Debug mode forces each eval kind every 100 iters IN ADDITION to the
+    configured interval (reference tracker.py:132-158)."""
+    cfg = tiny_config(tmp_path)
+    cfg["training_config"]["debug"] = True
+    trainer = GeneratorTrainer(config=cfg, init_dirs=False)
+    assert trainer._eval_due(100, 30000)       # debug kicker
+    assert not trainer._eval_due(50, 30000)    # not a debug multiple
+    assert trainer._eval_due(30000, 30000)     # configured interval
+    assert not trainer._eval_due(0, 30000)     # never at/before start
+
+    cfg2 = tiny_config(tmp_path)
+    cfg2["training_config"]["debug"] = False
+    t2 = GeneratorTrainer(config=cfg2, init_dirs=False)
+    assert not t2._eval_due(100, 30000)
+    assert t2._eval_due(30000, 30000)
