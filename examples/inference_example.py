@@ -13,7 +13,12 @@ Usage:
 """
 
 import argparse
+import os
+import sys
 from pathlib import Path
+
+# runnable as `python examples/inference_example.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
