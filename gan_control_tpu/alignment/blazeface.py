@@ -211,11 +211,15 @@ def weighted_nms(dets: np.ndarray, iou_thresh: float = 0.3) -> np.ndarray:
 
 def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Host-side resize via PIL (reference uses cv2 INTER_AREA,
-    utils.py:5-34; PIL BOX is the same box-filter average on downscale)."""
+    utils.py:5-34; PIL BOX is the same box-filter average on downscale).
+    cv2 INTER_AREA degrades to bilinear when UPSCALING, so inputs smaller
+    than the target use PIL BILINEAR to match."""
     from PIL import Image
 
+    in_h, in_w = img.shape[:2]
+    mode = Image.BILINEAR if (out_h > in_h or out_w > in_w) else Image.BOX
     pil = Image.fromarray(img.astype(np.uint8))
-    return np.asarray(pil.resize((out_w, out_h), Image.BOX), np.float32)
+    return np.asarray(pil.resize((out_w, out_h), mode), np.float32)
 
 
 def resize_and_crop_image(image: np.ndarray, dim: int = INPUT_SIZE):

@@ -67,7 +67,10 @@ class DataFrameDataset:
 
 class MergedDataFrameDataset:
     """All-attribute variant: (controls dict, latents_w) per row — for a
-    merged controller (reference datasets/merged_dataframe_dataset.py)."""
+    merged controller over a vanilla (non-partitioned-latent) generator
+    (reference datasets/merged_dataframe_dataset.py MergedDataFrameDataSet;
+    its default column set is arcface_emb/orientation/gamma3d/hair/age/
+    expression3d, :30-40)."""
 
     def __init__(self, df_path: str | Path, attributes: list[str],
                  train: bool = True, eval_fraction: float = 0.1):
@@ -90,6 +93,35 @@ class MergedDataFrameDataset:
 
     def __len__(self):
         return len(self.latents_w)
+
+
+def get_merged_dataframe_data_loader(
+    df_path: str | Path,
+    attributes: list[str],
+    batch_size: int,
+    train: bool = True,
+    seed: int = 0,
+) -> tuple[Iterator[tuple[dict, np.ndarray]], MergedDataFrameDataset]:
+    """Infinite shuffled ({attribute: controls}, w) batches — the merged
+    (all-attribute) counterpart of :func:`get_dataframe_data_loader`
+    (reference merged_dataframe_dataset.get_dataframe_data_loader:46-56)."""
+    ds = MergedDataFrameDataset(df_path, attributes, train=train)
+    rng = np.random.default_rng(seed)
+    bs = min(batch_size, len(ds))
+    if bs < 1:
+        raise ValueError(f"empty DataFrame split (train={train}) in {df_path}")
+
+    def gen():
+        while True:
+            perm = rng.permutation(len(ds))
+            for s in range(0, len(perm) - bs + 1, bs):
+                idx = perm[s : s + bs]
+                yield (
+                    {a: v[idx] for a, v in ds.controls.items()},
+                    ds.latents_w[idx],
+                )
+
+    return gen(), ds
 
 
 def get_dataframe_data_loader(

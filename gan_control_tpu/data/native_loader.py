@@ -19,11 +19,12 @@ from gan_control_tpu.utils.logging_utils import get_logger
 
 _log = get_logger(__name__)
 
-# Minimum native ABI this bridge understands (2 = PNG decode + failed-slot
-# accounting). A stale pre-PNG .so is treated as NOT AVAILABLE — the Python
-# fallback loader is used and the user is told to `make -C native` —
-# instead of silently feeding zero-filled batches for PNG datasets.
-_MIN_ABI = 2
+# Minimum native ABI this bridge understands (3 = per-batch failed counts
+# via gc_loader_next2; 2 was PNG decode + global failed-slot accounting).
+# A stale .so is treated as NOT AVAILABLE — the Python fallback loader is
+# used and the user is told to `make -C native` — instead of silently
+# feeding zero-filled batches for PNG datasets.
+_MIN_ABI = 3
 
 _LIB_PATHS = [
     Path(__file__).resolve().parents[2] / "native" / "libgcdata.so",
@@ -64,6 +65,11 @@ def load_library():
             ]
             lib.gc_loader_next.restype = ctypes.c_int
             lib.gc_loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+            lib.gc_loader_next2.restype = ctypes.c_int
+            lib.gc_loader_next2.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_long),
+            ]
             lib.gc_loader_destroy.argtypes = [ctypes.c_void_p]
             lib.gc_decode_one.restype = ctypes.c_int
             lib.gc_decode_one.argtypes = [
@@ -114,27 +120,31 @@ def native_loader(
     if not handle:
         raise RuntimeError("gc_loader_create failed")
     try:
-        failed_seen = 0
         while True:
             out = np.empty((batch_size, size, size, 3), np.float32)
-            rc = lib.gc_loader_next(
-                handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            failed = ctypes.c_long(0)
+            rc = lib.gc_loader_next2(
+                handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(failed),
             )
             if rc != 0:
                 return
-            failed = int(lib.gc_loader_failed_slots(handle))
-            if failed > failed_seen:
-                delta = failed - failed_seen
-                failed_seen = failed
-                if delta >= batch_size:
-                    raise RuntimeError(
-                        f"native loader: {delta} consecutive image slots "
-                        f"failed to decode (corrupt/unsupported dataset?) — "
-                        f"refusing to train on zero-filled batches"
-                    )
+            # per-batch accounting from the native side: abort only when the
+            # batch about to be yielded is ENTIRELY zero-filled; otherwise
+            # warn with the failure attributed to this exact batch
+            if failed.value >= batch_size:
+                raise RuntimeError(
+                    f"native loader: all {batch_size} image slots in a batch "
+                    f"failed to decode (corrupt/unsupported dataset?) — "
+                    f"refusing to train on zero-filled batches"
+                )
+            if failed.value > 0:
                 _log.warning(
-                    "native loader: %d image slot(s) failed to decode and "
-                    "were zero-filled (total %d)", delta, failed
+                    "native loader: %d/%d image slot(s) in this batch failed "
+                    "to decode and were zero-filled (total %d)",
+                    failed.value, batch_size,
+                    int(lib.gc_loader_failed_slots(handle)),
                 )
             yield out
     finally:

@@ -4,13 +4,15 @@ battery of evaluation/inference_class.Inference.extract_controls_from_images
 hair color (PSPNet), and the 3DMM-derived gamma/expression3d/orientation3d
 (R-Net, optionally on 3D-aligned crops).
 
-Used to recover the controls of a real photo so it can be re-applied to
-generated identities via Controller.gen_batch_by_controls."""
+This is THE predictor-battery codepath: make_attributes_df.py (phase 2a)
+builds its DataFrame columns through it, and it recovers the controls of a
+real photo so they can be re-applied to generated identities via
+Controller.gen_batch_by_controls."""
 
 from __future__ import annotations
 
 import os
-from typing import Any
+from typing import Any, Callable
 
 import jax
 import numpy as np
@@ -25,19 +27,40 @@ CONTROL_LOSSES = (
     "recon_3d_loss", "embedding_loss",
 )
 
+# loss block -> DataFrame column for the scalar/vector predictors
+_SIMPLE_COLUMNS = {
+    "orientation_loss": "orientation",
+    "age_loss": "age",
+    "expression_loss": "expression_q",
+    "hair_loss": "hair",
+    "embedding_loss": "arcface_emb",
+}
+
 
 class ControlExtractor:
-    def __init__(self, training_config: dict, align_fn=None, rng: jax.Array | None = None):
+    def __init__(self, training_config: dict, align_fn=None,
+                 rng: jax.Array | None = None, align_3d: bool = False):
         """training_config: the phase-1 loss blocks (for model_path etc.);
-        align_fn: optional 3D-alignment preprocessing for the R-Net path."""
+        align_fn: optional 3D-alignment preprocessing applied before the
+        R-Net / ArcFace path; align_3d: inputs to the R-Net are already
+        aligned crops, so its config center_crop is disabled (reference
+        make_attributes_df align_3d=False keeps the crop, :43-47)."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
         self.align_fn = align_fn
         self.mods: dict[str, tuple[Any, Any, Any]] = {}
+        # jitted per-predictor forwards: unjitted flax apply dispatches
+        # thousands of tiny ops (catastrophic over a remote-TPU link).
+        # params are a traced ARGUMENT, not a closure constant — a
+        # closed-over 500MB weight tree gets serialized into the compile
+        # request (HTTP 413 over a remote-compile link)
+        self._fns: dict[str, Callable] = {}
         for loss in CONTROL_LOSSES:
             block = training_config.get(loss)
             if not isinstance(block, dict) or not block.get("enabled"):
                 continue
             pm = _load_predictor(PREDICTOR_MODULES[loss])
+            if loss == "recon_3d_loss" and align_3d:
+                block = dict(block, center_crop=None)
             model = pm.make_model(block)
             rng, k = jax.random.split(rng)
             mp = block.get("model_path", "")
@@ -45,8 +68,19 @@ class ControlExtractor:
                 params = pm.convert_torch_weights(model, mp)
             else:
                 _log.warning("%s: random weights (no checkpoint at %r)", loss, mp)
-                params = pm.init_params(model, k)
+                params = jax.jit(
+                    lambda key, _pm=pm, _m=model: _pm.init_params(_m, key)
+                )(k)
             self.mods[loss] = (pm, model, params)
+            if loss == "recon_3d_loss":
+                raw = jax.jit(
+                    lambda p, imgs, _pm=pm, _m=model: _pm.features(_m, p, imgs)[-1]
+                )
+            else:
+                raw = jax.jit(
+                    lambda p, imgs, _pm=pm, _m=model: _pm.predict(_m, p, imgs)
+                )
+            self._fns[loss] = lambda imgs, _raw=raw, _p=params: _raw(_p, imgs)
 
     def extract(self, images) -> dict[str, np.ndarray]:
         """images: [-1,1] NHWC. Returns control dict keyed like the
@@ -54,27 +88,17 @@ class ControlExtractor:
         import jax.numpy as jnp
 
         images = jnp.asarray(images)
-        out: dict[str, np.ndarray] = {}
-        if "orientation_loss" in self.mods:
-            pm, m, p = self.mods["orientation_loss"]
-            out["orientation"] = np.asarray(pm.predict(m, p, images))
-        if "age_loss" in self.mods:
-            pm, m, p = self.mods["age_loss"]
-            out["age"] = np.asarray(pm.predict(m, p, images))
-        if "expression_loss" in self.mods:
-            pm, m, p = self.mods["expression_loss"]
-            out["expression_q"] = np.asarray(pm.predict(m, p, images))
-        if "hair_loss" in self.mods:
-            pm, m, p = self.mods["hair_loss"]
-            out["hair"] = np.asarray(pm.predict(m, p, images))
         recon_in = images if self.align_fn is None else self.align_fn(images)
-        if "recon_3d_loss" in self.mods:
-            pm, m, p = self.mods["recon_3d_loss"]
-            vec = pm.features(m, p, recon_in)[-1]
+        out: dict[str, np.ndarray] = {}
+        for loss, col in _SIMPLE_COLUMNS.items():
+            if loss not in self._fns:
+                continue
+            x = recon_in if loss == "embedding_loss" else images
+            out[col] = np.asarray(self._fns[loss](x))
+        if "recon_3d_loss" in self._fns:
+            pm = self.mods["recon_3d_loss"][0]
+            vec = self._fns["recon_3d_loss"](recon_in)
             out["gamma3d"] = np.asarray(pm.extract_feature(vec, "gamma"))
             out["expression3d"] = np.asarray(pm.extract_feature(vec, "ex"))
             out["orientation3d"] = np.asarray(pm.extract_feature(vec, "angles"))
-        if "embedding_loss" in self.mods:
-            pm, m, p = self.mods["embedding_loss"]
-            out["arcface_emb"] = np.asarray(pm.predict(m, p, recon_in))
         return out

@@ -256,7 +256,18 @@ def pallas_enabled() -> bool:
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def blur_fits_vmem(h: int, w: int, c: int, itemsize: int = 4) -> bool:
+def blur_fits_vmem(h: int, w: int, c: int, itemsize: int = 4,
+                   direction: str = "up") -> bool:
+    """Per-direction footprint estimate for the fused blur kernels.
+
+    up (grid=(n, 4), one phase per program): the padded input block plus ONE
+    [h, w, c] phase plane. down (grid=(n,)): four deinterleaved phase blocks
+    (~= one padded input block in total) plus an [h/2, w/2, c] output —
+    ~4x less output than up's whole-phase estimate, so downsample stays on
+    the pallas path at sizes where up must fall back."""
     x_block = (h + 2) * (w + 2) * c * itemsize
-    phases = 4 * h * w * c * itemsize
-    return x_block + phases <= _VMEM_BUDGET_BYTES
+    if direction == "down":
+        out_block = (h // 2) * (w // 2) * c * itemsize
+    else:
+        out_block = h * w * c * itemsize
+    return x_block + out_block <= _VMEM_BUDGET_BYTES

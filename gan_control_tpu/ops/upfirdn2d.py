@@ -134,7 +134,9 @@ def _upfirdn2d_xla(x, kernel, up_xy, down_xy, pad_xyxy):
 _DEFAULT_TAPS = (1.0, 3.0, 3.0, 1.0)
 
 
-def _pallas_blur_wanted(kernel: jax.Array, factor: int, x: jax.Array) -> bool:
+def _pallas_blur_wanted(
+    kernel: jax.Array, factor: int, x: jax.Array, direction: str = "up"
+) -> bool:
     import os
 
     if not (
@@ -148,7 +150,7 @@ def _pallas_blur_wanted(kernel: jax.Array, factor: int, x: jax.Array) -> bool:
     from gan_control_tpu.ops.pallas_kernels import blur_fits_vmem
 
     n, h, w, c = x.shape
-    if not blur_fits_vmem(h, w, c, x.dtype.itemsize):
+    if not blur_fits_vmem(h, w, c, x.dtype.itemsize, direction):
         return False  # per-program block would exceed scoped VMEM; lax tiles
     want = np.outer(_DEFAULT_TAPS, _DEFAULT_TAPS)
     want = want / want.sum()
@@ -162,7 +164,7 @@ def upsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
     `kernel` is the normalized FIR filter from :func:`make_kernel`.
     With GANCTL_PALLAS=1 the separable 4-tap case runs the fused Pallas
     kernel (ops/pallas_kernels.py)."""
-    if _pallas_blur_wanted(kernel, factor, x):
+    if _pallas_blur_wanted(kernel, factor, x, "up"):
         from gan_control_tpu.ops.pallas_kernels import blur2x_up
 
         return blur2x_up(x, _DEFAULT_TAPS)
@@ -175,7 +177,7 @@ def upsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
 
 def downsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
     """FIR 2x downsampling (reference: Downsample, models/gan_model.py:92-110)."""
-    if _pallas_blur_wanted(kernel, factor, x):
+    if _pallas_blur_wanted(kernel, factor, x, "down"):
         from gan_control_tpu.ops.pallas_kernels import blur2x_down
 
         return blur2x_down(x, _DEFAULT_TAPS)

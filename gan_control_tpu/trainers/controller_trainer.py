@@ -93,9 +93,18 @@ class ControllerTrainer:
         # working group + latent slice
         loss_name = mc["loss"]
         self.working_group = LOSS_TO_GROUP[loss_name]
-        group = self.spec.group(self.working_group)
-        self.group_slice = (group.latent_start, group.latent_end)
-        self.group_latent_size = group.latent_size
+        if self.spec is None:
+            # vanilla (merged-attribute) generator: no latent partition, so
+            # the controller predicts the FULL w from the control (reference
+            # merged_attr_w_latent_controller.json trains on a vanilla
+            # generator_dir; its attributes are entangled across all of w)
+            latent_size = mc.get("latent_size", 512)
+            self.group_slice = (0, latent_size)
+            self.group_latent_size = latent_size
+        else:
+            group = self.spec.group(self.working_group)
+            self.group_slice = (group.latent_start, group.latent_end)
+            self.group_latent_size = group.latent_size
 
         # save dir: self-contained layout with a copy of the generator
         self.save_dir = None

@@ -51,47 +51,24 @@ def main():
     import pandas as pd
     import jax
 
+    from gan_control_tpu.inference.extract_controls import ControlExtractor
     from gan_control_tpu.inference.inference import Inference
-    from gan_control_tpu.losses.registry import build_attr_losses, _load_predictor
 
     model = Inference(args.model_dir)
     tc = model.config["training_config"]
-
-    # instantiate the predictors used for columns (reference builds a full
-    # trainer only to reach its loss classes; here the registry suffices)
-    mods = {}
-    for loss in ("age_loss", "orientation_loss", "expression_loss", "hair_loss",
-                 "recon_3d_loss", "embedding_loss"):
-        block = tc.get(loss)
-        if not isinstance(block, dict) or not block.get("enabled"):
-            continue
-        from gan_control_tpu.losses.registry import PREDICTOR_MODULES
-
-        pm = _load_predictor(PREDICTOR_MODULES[loss])
-        m = pm.make_model(dict(block, center_crop=None) if args.align_3d else block)
-        rng = jax.random.PRNGKey(hash(loss) % (2**31))
-        model_path = block.get("model_path", "")
-        if model_path and os.path.exists(model_path) and hasattr(pm, "convert_torch_weights"):
-            params = pm.convert_torch_weights(m, model_path)
-        else:
-            params = pm.init_params(m, rng)
-        # jit predict/features once per predictor: unjitted flax apply
-        # dispatches thousands of tiny ops (catastrophic over a remote link)
-        # params must be a traced ARGUMENT, not a closure constant — a
-        # closed-over 500MB weight tree gets serialized into the compile
-        # request (HTTP 413 over a remote-compile link)
-        if loss == "recon_3d_loss":
-            raw = jax.jit(lambda p, imgs, _pm=pm, _m=m: _pm.features(_m, p, imgs)[-1])
-        else:
-            raw = jax.jit(lambda p, imgs, _pm=pm, _m=m: _pm.predict(_m, p, imgs))
-        fn = (lambda imgs, _raw=raw, _p=params: _raw(_p, imgs))
-        mods[loss] = (pm, m, params, fn)
 
     align_fn = None
     if args.align_3d:
         from gan_control_tpu.alignment import make_align_fn
 
         align_fn = make_align_fn()
+
+    # the shared predictor battery (jitted forwards, torch-weight loading,
+    # DataFrame column naming) lives in ControlExtractor — one codepath for
+    # phase 2a and for extracting controls from real photos
+    extractor = ControlExtractor(
+        tc, align_fn=align_fn, rng=jax.random.PRNGKey(1), align_3d=args.align_3d
+    )
 
     rows = []
     rng = jax.random.PRNGKey(0)
@@ -101,30 +78,10 @@ def main():
         out, latent, latent_w = model.gen_batch(
             batch_size=args.batch_size, normalize=False, rng=k
         )
-        out_np = np.asarray(out)
         latent_np = np.asarray(latent)
         w_np = np.asarray(latent_w)[:, 0, :]  # per-image w (identical rows of w+)
 
-        cols = {}
-        if "age_loss" in mods:
-            cols["age"] = np.asarray(mods["age_loss"][3](out))
-        if "orientation_loss" in mods:
-            cols["orientation"] = np.asarray(mods["orientation_loss"][3](out))
-        if "expression_loss" in mods:
-            cols["expression_q"] = np.asarray(mods["expression_loss"][3](out))
-        if "hair_loss" in mods:
-            cols["hair"] = np.asarray(mods["hair_loss"][3](out))
-        recon_in = out
-        if align_fn is not None:
-            recon_in = align_fn(out)
-        if "recon_3d_loss" in mods:
-            pm = mods["recon_3d_loss"][0]
-            vec = mods["recon_3d_loss"][3](recon_in)
-            cols["gamma3d"] = np.asarray(pm.extract_feature(vec, "gamma"))
-            cols["expression3d"] = np.asarray(pm.extract_feature(vec, "ex"))
-            cols["orientation3d"] = np.asarray(pm.extract_feature(vec, "angles"))
-        if "embedding_loss" in mods:
-            cols["arcface_emb"] = np.asarray(mods["embedding_loss"][3](recon_in))
+        cols = extractor.extract(out)
 
         for i in range(args.batch_size):
             row = {"latents": latent_np[i], "latents_w": w_np[i]}

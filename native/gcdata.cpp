@@ -178,6 +178,15 @@ void resize_normalize(const uint8_t* src, int w, int h, int sx0, int sy0,
   }
 }
 
+struct Batch {
+  std::vector<float> buf;
+  // zero-filled slots in THIS batch (decode failed after all retries); the
+  // consumer gets this per-batch via gc_loader_next2 so failures are
+  // attributed to the batch they actually corrupted, not smeared across
+  // whatever is in flight
+  long failed = 0;
+};
+
 struct Loader {
   std::vector<std::string> paths;
   int size = 0;
@@ -188,11 +197,11 @@ struct Loader {
   std::vector<std::thread> threads;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
-  std::queue<std::vector<float>> ready;
+  std::queue<Batch> ready;
   size_t max_ready = 4;
   std::atomic<bool> stop{false};
-  // slots left zero-filled because every decode attempt failed; consumers
-  // poll gc_loader_failed_slots and abort instead of training on black
+  // running total across all batches (observability; per-batch abort
+  // decisions use Batch::failed from gc_loader_next2)
   std::atomic<long> failed_slots{0};
   uint64_t seed = 0;
 
@@ -202,7 +211,8 @@ struct Loader {
     const size_t img_floats = size_t(size) * size * 3;
     std::vector<uint8_t> rgb;
     while (!stop.load()) {
-      std::vector<float> batch_buf(img_floats * batch);
+      Batch out;
+      out.buf.assign(img_floats * batch, 0.0f);
       for (int b = 0; b < batch; ++b) {
         // sample-with-replacement shuffle (infinite stream semantics)
         bool filled = false;
@@ -220,16 +230,19 @@ struct Loader {
           }
           bool mirror = hflip && uni(rng) < 0.5f;
           resize_normalize(rgb.data(), w, h, sx0, sy0, sw, sh, size, mirror,
-                           batch_buf.data() + img_floats * b);
+                           out.buf.data() + img_floats * b);
           filled = true;
           break;
         }
-        if (!filled) failed_slots.fetch_add(1);
+        if (!filled) {
+          out.failed++;
+          failed_slots.fetch_add(1);
+        }
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] { return ready.size() < max_ready || stop.load(); });
       if (stop.load()) return;
-      ready.push(std::move(batch_buf));
+      ready.push(std::move(out));
       cv_ready.notify_one();
     }
   }
@@ -255,19 +268,26 @@ void* gc_loader_create(const char** paths, int n_paths, int size, int batch,
   return ld;
 }
 
-int gc_loader_next(void* handle, float* out) {
+// Pop one ready batch; *failed_out (nullable) receives the count of
+// zero-filled slots in THIS batch.
+int gc_loader_next2(void* handle, float* out, long* failed_out) {
   auto* ld = static_cast<Loader*>(handle);
-  std::vector<float> buf;
+  Batch b;
   {
     std::unique_lock<std::mutex> lk(ld->mu);
     ld->cv_ready.wait(lk, [&] { return !ld->ready.empty() || ld->stop.load(); });
     if (ld->stop.load()) return 1;
-    buf = std::move(ld->ready.front());
+    b = std::move(ld->ready.front());
     ld->ready.pop();
     ld->cv_space.notify_one();
   }
-  std::memcpy(out, buf.data(), buf.size() * sizeof(float));
+  std::memcpy(out, b.buf.data(), b.buf.size() * sizeof(float));
+  if (failed_out) *failed_out = b.failed;
   return 0;
+}
+
+int gc_loader_next(void* handle, float* out) {
+  return gc_loader_next2(handle, out, nullptr);
 }
 
 void gc_loader_destroy(void* handle) {
@@ -280,10 +300,10 @@ void gc_loader_destroy(void* handle) {
 }
 
 // Bumped whenever the ABI or decode capabilities change (2 = PNG support +
-// failure accounting). The Python bridge refuses a stale .so lacking this
-// symbol / an older value, forcing `make -C native` instead of silently
-// degraded behavior.
-long gc_abi_version() { return 2; }
+// failure accounting; 3 = per-batch failed counts via gc_loader_next2).
+// The Python bridge refuses a stale .so lacking this symbol / an older
+// value, forcing `make -C native` instead of silently degraded behavior.
+long gc_abi_version() { return 3; }
 
 long gc_loader_failed_slots(void* handle) {
   return static_cast<Loader*>(handle)->failed_slots.load();

@@ -60,8 +60,17 @@ def test_vmem_guard_dispatch(monkeypatch):
     large = jnp.zeros((1, 512, 512, 128), jnp.float32)
     assert blur_fits_vmem(32, 32, 64)
     assert not blur_fits_vmem(512, 512, 128)
+    assert not blur_fits_vmem(512, 512, 128, direction="down")
     assert _pallas_blur_wanted(k, 2, small)
     assert not _pallas_blur_wanted(k, 2, large)
+    # down's per-program footprint is ~4x smaller (one padded input block
+    # + an h/2*w/2*c output vs up's whole phase plane): 64x64x512 — the D
+    # pyramid's deepest blur at 512^2 — fits down but not up
+    assert blur_fits_vmem(64, 64, 512, direction="down")
+    assert not blur_fits_vmem(64, 64, 512, direction="up")
+    mid = jnp.zeros((1, 64, 64, 512), jnp.float32)
+    assert _pallas_blur_wanted(k, 2, mid, "down")
+    assert not _pallas_blur_wanted(k, 2, mid, "up")
     # the large case still computes correctly through the lax path
     out = upsample_2x(large[:, :64, :64, :32], k)
     assert out.shape == (1, 128, 128, 32)

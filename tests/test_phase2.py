@@ -243,3 +243,31 @@ def test_make_attributes_df_cli(phase1_dir, tmp_path, monkeypatch):
     assert len(df) == 8
     assert df.iloc[0]["latents"].shape == (STYLE,)
     assert df.iloc[0]["latents_w"].shape == (STYLE,)
+
+
+def test_make_attributes_df_uses_control_extractor(phase1_dir, tmp_path, monkeypatch):
+    """With a predictor block enabled, the CLI's columns come from the
+    shared ControlExtractor battery (one predictor codepath for phase 2a
+    and real-photo control extraction)."""
+    import sys
+    import shutil
+    import pandas as pd
+    import make_attributes_df as cli
+
+    model_dir = tmp_path / "phase1_with_predictors"
+    shutil.copytree(phase1_dir, model_dir)
+    config = json.loads((model_dir / "args.json").read_text())
+    config["training_config"]["orientation_loss"] = {"enabled": True}
+    (model_dir / "args.json").write_text(json.dumps(config))
+
+    out = tmp_path / "df.pkl"
+    monkeypatch.setattr(sys, "argv", [
+        "make_attributes_df.py", "--model_dir", str(model_dir),
+        "--batch_size", "4", "--number_of_samples", "4",
+        "--save_path", str(out),
+    ])
+    cli.main()
+    df = pd.read_pickle(out)
+    assert len(df) == 4
+    assert df.iloc[0]["orientation"].shape == (3,)
+    assert np.all(np.isfinite(np.stack(df["orientation"])))
