@@ -271,3 +271,131 @@ def test_make_attributes_df_uses_control_extractor(phase1_dir, tmp_path, monkeyp
     assert len(df) == 4
     assert df.iloc[0]["orientation"].shape == (3,)
     assert np.all(np.isfinite(np.stack(df["orientation"])))
+
+
+def test_controller_config_inventory():
+    """Every shipped controller config parses and is launchable: the loss
+    maps to a latent group, the attribute column resolves for its in_dim,
+    and the trainer-required keys are present (reference
+    configs/controller_configs/* inventory)."""
+    from pathlib import Path
+
+    from gan_control_tpu.data.dataframe import attribute_column_for
+    from gan_control_tpu.trainers.controller_trainer import LOSS_TO_GROUP
+
+    root = Path(__file__).resolve().parents[1] / "gan_control_tpu" / "configs" / "controller_configs"
+    configs = sorted(root.rglob("*.json"))
+    # the reference ships 11 controller configs; ours covers every dataset +
+    # ablation variant (expression_q is an extra split of the default)
+    assert len(configs) >= 11, [c.name for c in configs]
+    datasets = {c.parent.name for c in configs}
+    assert {"ffhq", "afhq", "metfaces"} <= datasets
+    for path in configs:
+        cfg = json.loads(path.read_text())
+        mc, tc = cfg["model_config"], cfg["training_config"]
+        assert mc["loss"] in LOSS_TO_GROUP, path.name
+        assert attribute_column_for(mc["loss"], mc["in_dim"]), path.name
+        for key in ("generator_dir", "iter", "batch", "lr", "sampled_df_path",
+                    "min_evaluate_interval", "save_nets_interval", "losses"):
+            assert key in tc, (path.name, key)
+        assert tc["controller_type"] == "latent_w", path.name
+
+
+def test_merged_attr_controller_on_vanilla_generator(tmp_path):
+    """The merged-attribute path (reference merged_attr_w_latent_controller
+    .json): a controller trained against a VANILLA generator predicts the
+    FULL w latent from the control."""
+    from gan_control_tpu.trainers.controller_trainer import ControllerTrainer
+
+    # vanilla phase-1 dir
+    root = tmp_path / "vanilla_phase1"
+    root.mkdir()
+    config = {
+        "save_name": "vanilla_tiny",
+        "model_config": {
+            "vanilla": True,
+            "img_channels": 3,
+            "split_fc": False,
+            "marge_fc": False,
+            "latent_size": STYLE,
+            "size": SIZE,
+            "n_mlp": 2,
+            "channel_multiplier": 0.25,
+            "max_channels": 32,
+            "g_noise_mode": "normal",
+        },
+        "training_config": {"batch": 8, "mini_batch": 8},
+    }
+    write_json(config, root / "args.json")
+    gen = build_generator(config, build_group_spec(config))
+    z = jnp.zeros((1, STYLE))
+    params = gen.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, [z])
+    ckpt_lib.save_checkpoint(root / "checkpoint", {"g_ema": params}, 1)
+
+    rng = np.random.default_rng(0)
+    n = 100
+    df = pd.DataFrame(
+        {
+            "age": [np.float32(rng.uniform(15, 75)) for _ in range(n)],
+            "latents_w": [rng.normal(size=STYLE).astype(np.float32) for _ in range(n)],
+        }
+    )
+    df_path = tmp_path / "vanilla_df.pkl"
+    df.to_pickle(df_path)
+
+    cfg = {
+        "save_name": "merged_attr",
+        "results_dir": str(tmp_path / "controllers"),
+        "model_config": {
+            "latent_size": STYLE, "size": SIZE, "lr_mlp": 0.01, "n_mlp": 2,
+            "in_dim": 1, "mid_dim": 32, "loss": "age_loss",
+        },
+        "training_config": {
+            "debug": True, "rec_loss": "l1", "generator_dir": str(root),
+            "iter": 10, "batch": 16, "reg_every": 4, "lr": 0.002,
+            "generate_controls": "sampled_df", "sampled_df_path": str(df_path),
+            "min_evaluate_interval": 5, "save_nets_interval": 10,
+            "losses": ["latent_rec"],
+        },
+    }
+    trainer = ControllerTrainer(config=cfg)
+    # the controller's slice is the WHOLE latent
+    assert trainer.group_slice == (0, STYLE)
+    assert trainer.group_latent_size == STYLE
+    trainer.train()
+    last = trainer.metrics_history[-1]
+    assert np.isfinite(last["latent_rec_loss"])
+
+
+def test_merged_dataframe_loader(tmp_path):
+    """MergedDataFrameDataset + its loader: all-attribute batches keyed by
+    column, expression_q one-hot (reference merged_dataframe_dataset.py)."""
+    from gan_control_tpu.data.dataframe import (
+        NUM_EXPRESSION_CLASSES,
+        get_merged_dataframe_data_loader,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 40
+    df = pd.DataFrame(
+        {
+            "age": [np.float32(rng.uniform(15, 75)) for _ in range(n)],
+            "orientation": [rng.normal(size=3).astype(np.float32) for _ in range(n)],
+            "expression_q": [np.int64(rng.integers(0, 8)) for _ in range(n)],
+            "latents_w": [rng.normal(size=STYLE).astype(np.float32) for _ in range(n)],
+        }
+    )
+    df_path = tmp_path / "merged_df.pkl"
+    df.to_pickle(df_path)
+
+    loader, ds = get_merged_dataframe_data_loader(
+        df_path, ["age", "orientation", "expression_q"], batch_size=8
+    )
+    assert len(ds) == 36  # 90% train split
+    controls, w = next(loader)
+    assert set(controls) == {"age", "orientation", "expression_q"}
+    assert controls["age"].shape == (8, 1)
+    assert controls["orientation"].shape == (8, 3)
+    assert controls["expression_q"].shape == (8, NUM_EXPRESSION_CLASSES)
+    np.testing.assert_allclose(controls["expression_q"].sum(axis=1), 1.0)
+    assert w.shape == (8, STYLE)
