@@ -589,6 +589,86 @@ class GeneratorTrainer:
                 mat = self._sample_fn(self.state.g_ema, lat, jax.random.PRNGKey(i))
                 (imgdir / g.name).mkdir(parents=True, exist_ok=True)
                 save_image_grid(mat, imgdir / g.name / f"{i:06d}.jpg", nrow=4)
+                self._save_annotated_matrices(i, g.name, mat, imgdir)
+
+    # annotated matrices: which loss drives which images/<kind>/ dir
+    _ANNOTATED_KINDS = (
+        ("orientation_loss", "orientation_matrix"),
+        ("expression_loss", "expression_matrix"),
+        ("age_loss", "age_matrix"),
+        ("hair_loss", "hair_matrix"),
+    )
+
+    def _matrix_predict_fn(self, loss_name: str):
+        """Cached jitted predictor forward for matrix annotation (params are
+        traced args, not closure constants — remote-compile payload size)."""
+        if not hasattr(self, "_matrix_predict_fns"):
+            self._matrix_predict_fns = {}
+        if loss_name not in self._matrix_predict_fns:
+            from gan_control_tpu.losses.registry import (
+                PREDICTOR_MODULES,
+                _load_predictor,
+            )
+
+            mod = _load_predictor(PREDICTOR_MODULES[loss_name])
+            model = mod.make_model(self.tc.get(loss_name, {}))
+            self._matrix_predict_fns[loss_name] = jax.jit(
+                lambda p, x, _mod=mod, _m=model: _mod.predict(_m, p, x)
+            )
+        return self._matrix_predict_fns[loss_name]
+
+    def _save_annotated_matrices(self, i: int, group_name: str, mat01, imgdir):
+        """Predictions drawn on the matrix cells (pose axes, age/hair/
+        expression text), saved as images/<kind>_matrix/%06d.jpg — the
+        reference's annotated matrices (generator_trainer.py:792-850 via
+        make_orientation_grid / make_age_grid / make_expression_grid)."""
+        from gan_control_tpu.evaluation.attribute_evals import (
+            annotate_attribute_images,
+        )
+        from gan_control_tpu.evaluation.generation import save_image_grid
+
+        enabled = {al.name: al for al in self.attr_losses}
+        imgs_pm1 = mat01 * 2.0 - 1.0  # predictors take [-1,1]
+        preds_cache: dict[str, np.ndarray] = {}
+
+        def preds_for(loss_name: str) -> np.ndarray:
+            if loss_name not in preds_cache:
+                preds_cache[loss_name] = np.asarray(
+                    self._matrix_predict_fn(loss_name)(
+                        self.predictor_params[loss_name], imgs_pm1
+                    )
+                )
+            return preds_cache[loss_name]
+
+        for loss_name, kind in self._ANNOTATED_KINDS:
+            al = enabled.get(loss_name)
+            if al is None or al.group != group_name:
+                continue
+            annotated = annotate_attribute_images(
+                loss_name, np.asarray(mat01), preds_for(loss_name)
+            )
+            (imgdir / kind).mkdir(parents=True, exist_ok=True)
+            save_image_grid(annotated, imgdir / kind / f"{i:06d}.jpg", nrow=4)
+
+        # combined attribute matrix (axes + expression text) on the id
+        # group's matrix (reference make_attribute_matrix, tracker.py:104)
+        emb = enabled.get("embedding_loss")
+        if (
+            emb is not None
+            and emb.group == group_name
+            and "orientation_loss" in enabled
+            and "expression_loss" in enabled
+        ):
+            annotated = annotate_attribute_images(
+                "attribute",
+                np.asarray(mat01),
+                preds_for("orientation_loss"),
+                extra_preds=preds_for("expression_loss"),
+            )
+            (imgdir / "attribute_matrix").mkdir(parents=True, exist_ok=True)
+            save_image_grid(
+                annotated, imgdir / "attribute_matrix" / f"{i:06d}.jpg", nrow=4
+            )
 
     def save_nets(self, step: int, name: str | None = None):
         path = ckpt_lib.save_checkpoint(

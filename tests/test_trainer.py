@@ -268,3 +268,83 @@ def test_eval_due_debug_gates(tmp_path):
     t2 = GeneratorTrainer(config=cfg2, init_dirs=False)
     assert not t2._eval_due(100, 30000)
     assert t2._eval_due(30000, 30000)
+
+
+def test_annotate_attribute_images_kinds():
+    """Each annotation kind changes pixels and returns [0,1] images of the
+    input shape (pose axes, age/expression/hair text, combined)."""
+    from gan_control_tpu.evaluation.attribute_evals import annotate_attribute_images
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0.2, 0.8, size=(2, 64, 64, 3)).astype(np.float32)
+    cases = {
+        "orientation_loss": np.array([[30.0, 10.0, -5.0], [-30.0, 0.0, 0.0]]),
+        "age_loss": np.array([25.0, 60.0]),
+        "expression_loss": np.array([0, 5]),
+        "hair_loss": np.array([[0.5, 0.3, 0.2], [0.1, 0.1, 0.1]]),
+    }
+    for loss_name, preds in cases.items():
+        out = annotate_attribute_images(loss_name, imgs, preds)
+        assert out.shape == imgs.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert not np.allclose(out, imgs), loss_name
+    combined = annotate_attribute_images(
+        "attribute", imgs, cases["orientation_loss"],
+        extra_preds=cases["expression_loss"],
+    )
+    assert not np.allclose(combined, imgs)
+
+
+@pytest.mark.slow
+def test_trainer_saves_annotated_matrices(tmp_path, monkeypatch):
+    """save_images writes the annotated attribute matrices next to the
+    plain per-group grids (reference images/<kind>_matrix/%06d.jpg,
+    generator_trainer.py:792-850)."""
+    import jax.numpy as jnp
+
+    from gan_control_tpu.losses.contrastive import ContrastiveConfig, pairwise_sq_l2
+    from gan_control_tpu.training.train_step import AttributeLossSpec
+
+    def spec_for(name, group):
+        return AttributeLossSpec(
+            name=name, group=group,
+            cfg=ContrastiveConfig(
+                intermediate_weights=(), last_layer_weight=1.0,
+                lower_thres=(), upper_thres=(),
+                last_lower_thres=0.1, last_upper_thres=1.0,
+                focus_on=("same_as_last_layer",),
+            ),
+            feature_fn=lambda p, x: [jnp.mean(x, axis=(1, 2))],
+            dist_fn=pairwise_sq_l2,
+        )
+
+    attr = (
+        spec_for("embedding_loss", "id"),
+        spec_for("orientation_loss", "other"),
+        spec_for("expression_loss", "other"),
+    )
+    params = {"embedding_loss": {}, "orientation_loss": {}, "expression_loss": {}}
+    cfg = tiny_config(tmp_path)
+    trainer = GeneratorTrainer(config=cfg, attr_losses=attr, predictor_params=params)
+
+    # stub the heavy predictor forwards; the save/annotate path stays real
+    outs = {"orientation_loss": 3, "expression_loss": 1}
+
+    def fake_predict_fn(loss_name):
+        def fn(p, x):
+            if outs[loss_name] == 1:
+                return jnp.zeros((x.shape[0],), jnp.int32)
+            return jnp.zeros((x.shape[0], outs[loss_name]))
+        return fn
+
+    monkeypatch.setattr(trainer, "_matrix_predict_fn", fake_predict_fn)
+    trainer.save_images(1)
+
+    img = trainer.save_dir / "images"
+    assert (img / "other" / "000001.jpg").exists()
+    assert (img / "orientation_matrix" / "000001.jpg").exists()
+    assert (img / "expression_matrix" / "000001.jpg").exists()
+    # combined attribute matrix rides the id-group matrix
+    assert (img / "attribute_matrix" / "000001.jpg").exists()
+    # no age loss enabled -> no age matrix
+    assert not (img / "age_matrix").exists()
