@@ -101,7 +101,18 @@ def main(argv=None):
     ap.add_argument("--num_images", type=int, default=1000)
     ap.add_argument("--batch_size", type=int, default=40)
     ap.add_argument("--out", default="calibration")
+    ap.add_argument("--precision", default=None,
+                    choices=("default", "tensorfloat32", "highest"),
+                    help="predictor conv/matmul precision for this run "
+                    "(A/B the bf16-vs-f32 distance-scale drift; default: "
+                    "GANCTL_PREDICTOR_PRECISION or 'highest')")
     args = ap.parse_args(argv)
+    if args.precision is not None:
+        import os
+
+        from gan_control_tpu.utils.precision import ENV_VAR
+
+        os.environ[ENV_VAR] = args.precision
 
     import jax
 

@@ -29,12 +29,19 @@ from gan_control_tpu.evaluation.inception import InceptionV3Features
 
 
 def make_feature_fn(params):
-    """Returns jitted images([0,1] NHWC) -> [B,2048]."""
+    """Returns jitted images([0,1] NHWC) -> [B,2048].
+
+    Inception convs run at the configured predictor precision (default
+    true-f32: the FID covariance is sensitive to feature scale and the
+    reference extracts features with f32 torchvision InceptionV3)."""
+    from gan_control_tpu.utils.precision import predictor_precision_ctx
+
     module = InceptionV3Features()
 
     @jax.jit
     def run(images):
-        return module.apply(params, images)
+        with predictor_precision_ctx():
+            return module.apply(params, images)
 
     return run
 

@@ -72,14 +72,16 @@ class ControlExtractor:
                     lambda key, _pm=pm, _m=model: _pm.init_params(_m, key)
                 )(k)
             self.mods[loss] = (pm, model, params)
+            from gan_control_tpu.utils.precision import with_predictor_precision
+
             if loss == "recon_3d_loss":
-                raw = jax.jit(
+                raw = jax.jit(with_predictor_precision(
                     lambda p, imgs, _pm=pm, _m=model: _pm.features(_m, p, imgs)[-1]
-                )
+                ))
             else:
-                raw = jax.jit(
+                raw = jax.jit(with_predictor_precision(
                     lambda p, imgs, _pm=pm, _m=model: _pm.predict(_m, p, imgs)
-                )
+                ))
             self._fns[loss] = lambda imgs, _raw=raw, _p=params: _raw(_p, imgs)
 
     def extract(self, images) -> dict[str, np.ndarray]:

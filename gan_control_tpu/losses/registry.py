@@ -37,6 +37,7 @@ from gan_control_tpu.losses.contrastive import (
 )
 from gan_control_tpu.training.train_step import AttributeLossSpec
 from gan_control_tpu.utils.logging_utils import get_logger
+from gan_control_tpu.utils.precision import predictor_precision_ctx
 from gan_control_tpu.utils.weights import load_pretrained
 
 _log = get_logger(__name__)
@@ -82,6 +83,10 @@ def build_attr_losses(
     rng = jax.random.PRNGKey(0) if rng is None else rng
     specs: list[AttributeLossSpec] = []
     params: dict[str, Any] = {}
+    # frozen predictors run at reference-parity f32 by default (the torch
+    # reference computes its feature distances in f32; the calibrated
+    # contrastive thresholds assume that scale) — see utils/precision.py
+    prec_cfg = training_config.get("predictor_precision")
 
     for loss_name, mod_name in PREDICTOR_MODULES.items():
         block = training_config.get(loss_name)
@@ -122,8 +127,9 @@ def build_attr_losses(
 
                 def make_feature_fn(m=model, fmod=mod, which=sub):
                     def feature_fn(pp, images):
-                        vec = fmod.features(m, pp, images)[-1]
-                        return [fmod.extract_feature(vec, which)]
+                        with predictor_precision_ctx(prec_cfg):
+                            vec = fmod.features(m, pp, images)[-1]
+                            return [fmod.extract_feature(vec, which)]
                     return feature_fn
 
                 specs.append(
@@ -140,7 +146,8 @@ def build_attr_losses(
 
         def make_feature_fn(m=model, fmod=mod):
             def feature_fn(pp, images):
-                return fmod.features(m, pp, images)
+                with predictor_precision_ctx(prec_cfg):
+                    return fmod.features(m, pp, images)
             return feature_fn
 
         specs.append(

@@ -411,10 +411,15 @@ class GeneratorTrainer:
         # into the compile payload — slow/oversized on remote-compile links)
         model = mod.make_model(self.tc.get(loss_name, {}))
 
+        from gan_control_tpu.utils.precision import predictor_precision_ctx
+
         @jax.jit
         def gen_and_predict(gp, pp, z):
             img, _ = self.generator.apply(gp, [z], rngs={"noise": jax.random.PRNGKey(0)})
-            return mod.predict(model, pp, img)
+            # only the predictor runs at the high-precision setting; G keeps
+            # the fast MXU default
+            with predictor_precision_ctx(self.tc.get("predictor_precision")):
+                return mod.predict(model, pp, img)
 
         preds = []
         rng = jax.random.PRNGKey(1000 + i)
@@ -610,11 +615,14 @@ class GeneratorTrainer:
                 _load_predictor,
             )
 
+            from gan_control_tpu.utils.precision import with_predictor_precision
+
             mod = _load_predictor(PREDICTOR_MODULES[loss_name])
             model = mod.make_model(self.tc.get(loss_name, {}))
-            self._matrix_predict_fns[loss_name] = jax.jit(
-                lambda p, x, _mod=mod, _m=model: _mod.predict(_m, p, x)
-            )
+            self._matrix_predict_fns[loss_name] = jax.jit(with_predictor_precision(
+                lambda p, x, _mod=mod, _m=model: _mod.predict(_m, p, x),
+                self.tc.get("predictor_precision"),
+            ))
         return self._matrix_predict_fns[loss_name]
 
     def _save_annotated_matrices(self, i: int, group_name: str, mat01, imgdir):
