@@ -34,3 +34,39 @@ def test_host_local_to_global_roundtrip():
     # path of the SPMD train step)
     total = jnp.sum(arr)
     assert float(total) == float(local.sum())
+
+
+def test_two_process_distributed():
+    """initialize() + host_local_to_global with process_count==2 for real:
+    two cooperating processes form a 2x2-device CPU 'slice', assemble a
+    host-spanning global batch, and run a jitted cross-host reduction
+    (SURVEY.md §5.8 — the reference has no multi-host path at all)."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = Path(__file__).parent / "_multihost_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"RESULT {i} 2 4x4 8.0" in out, out
