@@ -99,3 +99,30 @@ def test_registry_loads_msgpack(tmp_path):
     img = jnp.zeros((2, 64, 64, 3))
     feats = specs[0].feature_fn(params["style_loss"], img)
     assert feats[-1].shape[0] == 2
+
+
+def test_verify_sha_pins_and_manifest(tmp_path, capsys):
+    """--verify-sha: filename-pinned checkpoints are enforced (our fake
+    vgg16 fails its published pin), unpinned ones are recorded into
+    sha256s.json and enforced against the recording on the next run."""
+    root = _make_root(tmp_path)
+    # an unpinned checkpoint: hopenet
+    (root / "hopenet_robust_alpha1.pkl").write_bytes(b"fake-hopenet-weights")
+
+    rc = cw.main(["--root", str(root), "--verify-sha"])
+    out = capsys.readouterr().out
+    assert rc == 1  # fake vgg16 violates its 397923af pin
+    assert "MISMATCH style_loss" in out
+    assert "OK      orientation_loss" in out and "[recorded]" in out
+
+    manifest = json.loads((root / "converted" / "sha256s.json").read_text())
+    assert "orientation_loss" in manifest
+    assert len(manifest["orientation_loss"]["sha256"]) == 64
+    assert "style_loss" not in manifest  # mismatches are not recorded
+
+    # tamper with the recorded file -> second run flags it
+    (root / "hopenet_robust_alpha1.pkl").write_bytes(b"tampered")
+    rc = cw.main(["--root", str(root), "--verify-sha"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "MISMATCH orientation_loss" in out

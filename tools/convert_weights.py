@@ -181,6 +181,63 @@ def make_specs():
     ]
 
 
+# sha256 pins for the source checkpoints. torch-hub-convention files embed
+# the leading hex of their sha256 in the FILENAME — that prefix is the pin
+# (torch.hub.load_state_dict_from_url enforces exactly this). The other
+# checkpoints are distributed without published digests (gdrive folders,
+# author-converted files): their pins start empty and are RECORDED by
+# --verify-sha on the first machine that has them, so every later
+# conversion is checked against the first verified copy (WEIGHTS.md).
+KNOWN_SHA256_PREFIXES = {
+    "fid_inception": "6726825d",        # pt_inception-2015-12-05-6726825d.pth
+    "style_loss": "397923af",           # vgg16-397923af.pth
+    "classification_loss": "f37072fd",  # resnet18-f37072fd.pth
+    "sfd": "619a316812",                # s3fd-619a316812.pth
+    "fan": "7835d9f11d",                # 3DFAN4-7835d9f11d.pth.tar
+}
+
+
+def verify_sha(specs, root: str, out_dir: str) -> int:
+    """--verify-sha: hash every present source checkpoint, check it against
+    the filename-prefix pins and any previously recorded digest, and write
+    the full digests to <out>/sha256s.json (the recorded manifest)."""
+    manifest_path = os.path.join(out_dir, "sha256s.json")
+    manifest = (
+        json.load(open(manifest_path)) if os.path.exists(manifest_path) else {}
+    )
+    failed, checked, recorded = [], 0, []
+    for spec in specs:
+        name = spec["name"]
+        src = _find(root, spec["patterns"])
+        if src is None:
+            continue
+        digest = _sha256(src)
+        checked += 1
+        pin = KNOWN_SHA256_PREFIXES.get(name)
+        if pin is not None and not digest.startswith(pin):
+            failed.append(name)
+            print(f"  MISMATCH {name}: sha256 {digest[:16]}… does not start "
+                  f"with the published pin {pin} ({src})")
+            continue
+        prev = manifest.get(name)
+        if prev is not None and prev["sha256"] != digest:
+            failed.append(name)
+            print(f"  MISMATCH {name}: sha256 {digest[:16]}… != previously "
+                  f"recorded {prev['sha256'][:16]}… ({src})")
+            continue
+        if prev is None:
+            recorded.append(name)
+        manifest[name] = {"source": os.path.basename(src), "sha256": digest}
+        print(f"  OK      {name}  {digest[:16]}…"
+              + ("  [pinned]" if pin else "  [recorded]"))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"verified {checked} checkpoints, {len(failed)} mismatches"
+          + (f", recorded {len(recorded)} new digests" if recorded else ""))
+    return 1 if failed else 0
+
+
 def _find(root: str, patterns) -> str | None:
     for pat in patterns:
         hits = sorted(glob.glob(os.path.join(root, pat)))
@@ -236,6 +293,9 @@ def main(argv=None):
                     help="default: <root>/converted")
     ap.add_argument("--validate", action="store_true",
                     help="re-probe converted msgpacks against goldens.json")
+    ap.add_argument("--verify-sha", action="store_true",
+                    help="hash present source checkpoints against the pins "
+                    "and the recorded sha256s.json manifest")
     ap.add_argument("--only", nargs="*", default=None,
                     help="limit to these entry names")
     args = ap.parse_args(argv)
@@ -245,6 +305,9 @@ def main(argv=None):
     specs = make_specs()
     if args.only:
         specs = [s for s in specs if s["name"] in args.only]
+
+    if args.verify_sha:
+        return verify_sha(specs, args.root, out_dir)
 
     if args.validate:
         goldens = json.load(open(goldens_path))
@@ -274,6 +337,14 @@ def main(argv=None):
         if src is None:
             missing.append((name, spec["patterns"][0]))
             continue
+        digest = _sha256(src)
+        pin = KNOWN_SHA256_PREFIXES.get(name)
+        if pin is not None and not digest.startswith(pin):
+            # warn-and-convert: --verify-sha is the strict gate (test
+            # fixtures and retrained checkpoints legitimately differ)
+            print(f"  WARNING {name}: sha256 {digest[:16]}… does not start "
+                  f"with the published pin {pin} ({src}) — not the canonical "
+                  f"checkpoint; run --verify-sha to enforce")
         print(f"converting {name} from {src} ...")
         try:
             params = spec["convert"](src)
@@ -290,7 +361,7 @@ def main(argv=None):
         golden = _golden_summary(spec["probe"](params))
         goldens[name] = {
             "source": src,
-            "source_sha256": _sha256(src),
+            "source_sha256": digest,
             "golden": golden,
         }
         converted.append(name)
