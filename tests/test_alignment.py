@@ -67,3 +67,25 @@ def test_sh_basis_gold():
     np.testing.assert_allclose(b[1::9], 0.0)
     g = gamma_from_direction(2.0, 0.0, 0.0)  # normalizes internally
     np.testing.assert_allclose(g[3::9], -0.488602511902919920)
+
+
+def test_folder_detector(tmp_path):
+    """Pre-computed-box 'detector' (reference detection/folder): reads
+    <image>.npy sidecars, validates shape, raises when absent."""
+    from gan_control_tpu.alignment.folder import FolderDetector
+
+    img = tmp_path / "face_001.png"
+    img.write_bytes(b"")
+    boxes = np.array([[10.0, 20.0, 110.0, 140.0, 0.99]], np.float32)
+    np.save(tmp_path / "face_001.npy", boxes)
+
+    det = FolderDetector()
+    got = det.detect_from_path(img)
+    np.testing.assert_allclose(got, boxes)
+
+    (out,) = det.detect([None], [img])
+    np.testing.assert_allclose(out, boxes)
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        det.detect_from_path(tmp_path / "missing.png")
