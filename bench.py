@@ -196,14 +196,17 @@ def bench_train(on_tpu: bool) -> dict:
     float(gm["g_loss"])
 
     # one full d_reg cadence window so R1 fires exactly once and
-    # path-length cfg.d_reg_every/cfg.g_reg_every times — the amortized
-    # number is what wall-clock training costs (reference cadence,
-    # configs/ffhq.json:73-82)
+    # path-length fires cfg.d_reg_every/cfg.g_reg_every times — the
+    # amortized number is what wall-clock training costs (reference
+    # cadence, configs/ffhq.json:73-82). ONE sync per iteration, exactly
+    # like the trainer's metric logging: letting all 4 graphs queue
+    # unsynced allocates their workspaces concurrently and OOMs the 16GB
+    # chip (measured — the graphs individually leave >50% HBM headroom)
     n_iters = cfg.d_reg_every if on_tpu else 4
     t0 = time.perf_counter()
     for i in range(n_iters):
         state, gm = one_iter(state, i)
-    float(gm["g_loss"])  # force completion (tunnel-safe)
+        float(gm["g_loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
     # step-only secondary metric: the same loop with the reg cadence off
@@ -211,7 +214,7 @@ def bench_train(on_tpu: bool) -> dict:
     for i in range(n_iters):
         state, _ = d_step(state, real, (zs[i % 4],))
         state, gm = g_step(state, (zs[(i + 1) % 4],), pred_params)
-    float(gm["g_loss"])
+        float(gm["g_loss"])
     dt_step_only = (time.perf_counter() - t0) / n_iters
 
     imgs_per_sec = batch / dt
@@ -243,9 +246,18 @@ def main():
     # the chip clean; generation (inference-only) runs comfortably after
     train = None
     if os.environ.get("BENCH_TRAIN", "1") != "0":
+        import gc
+
         try:
             train = bench_train(on_tpu)
         except Exception:
+            train = None
+        # the retry runs OUTSIDE the except block: while an exception is
+        # being handled its traceback pins the failed harness frames
+        # (state, predictor params, compiled graphs) on-device, and a
+        # second full model would stack on top of them
+        gc.collect()
+        if train is None:
             # no-remat bf16 graph may not fit a smaller chip: one retry on
             # the remat memory plan before giving up
             try:
@@ -254,8 +266,15 @@ def main():
             except Exception as e:  # train bench must never sink the headline
                 print(json.dumps(
                     {"metric": "phase1_train_error", "error": str(e)[:200]}))
+            gc.collect()
+        gc.collect()  # train harness is done; give generation a clean chip
         if train:
             print(json.dumps(train))
+
+    if os.environ.get("BENCH_GEN", "1") == "0":
+        if train:
+            print(json.dumps(dict(train, metric="bench_train_only")))
+        return
 
     # headline, printed last. Generation-only retry at a quarter batch for
     # smaller chips — the train bench already printed and must not re-run
