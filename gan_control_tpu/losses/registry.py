@@ -83,9 +83,11 @@ def build_attr_losses(
     rng = jax.random.PRNGKey(0) if rng is None else rng
     specs: list[AttributeLossSpec] = []
     params: dict[str, Any] = {}
-    # frozen predictors run at reference-parity f32 by default (the torch
-    # reference computes its feature distances in f32; the calibrated
-    # contrastive thresholds assume that scale) — see utils/precision.py
+    # IN-TRAINING battery precision. fallback='default' (single-pass bf16
+    # multiplies): the f32-accumulation battery at 512²/batch 16 exhausts a
+    # 16GB v5e next to the G/D graphs (measured). The eval/measurement
+    # paths (FID, calibrate_thresholds, ControlExtractor) default to f32 —
+    # see utils/precision.py and the drift table in WEIGHTS.md
     prec_cfg = training_config.get("predictor_precision")
 
     for loss_name, mod_name in PREDICTOR_MODULES.items():
@@ -127,7 +129,7 @@ def build_attr_losses(
 
                 def make_feature_fn(m=model, fmod=mod, which=sub):
                     def feature_fn(pp, images):
-                        with predictor_precision_ctx(prec_cfg):
+                        with predictor_precision_ctx(prec_cfg, fallback="default"):
                             vec = fmod.features(m, pp, images)[-1]
                             return [fmod.extract_feature(vec, which)]
                     return feature_fn
@@ -146,7 +148,7 @@ def build_attr_losses(
 
         def make_feature_fn(m=model, fmod=mod):
             def feature_fn(pp, images):
-                with predictor_precision_ctx(prec_cfg):
+                with predictor_precision_ctx(prec_cfg, fallback="default"):
                     return fmod.features(m, pp, images)
             return feature_fn
 

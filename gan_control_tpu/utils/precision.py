@@ -14,9 +14,15 @@ training_config) selects the conv/matmul precision for those paths ONLY —
 G/D keep the fast single-pass MXU default:
 
   - ``highest``       true-f32 accumulation (6-pass bf16) — reference
-                      parity; the DEFAULT
+                      parity; default for the MEASUREMENT paths (FID
+                      Inception features, ControlExtractor, annotation)
   - ``tensorfloat32`` 3-pass bf16 middle ground
-  - ``default``       single-pass bf16 (fastest; the round-2 behavior)
+  - ``default``       single-pass bf16 (fastest) — default for the
+                      IN-TRAINING battery and threshold calibration (the
+                      f32-accum battery OOMs a 16GB v5e at 512²/batch 16
+                      next to the G/D graphs; calibration matches the
+                      training mode so thresholds match training-time
+                      distances)
 
 The knob is applied at trace time via ``jax.default_matmul_precision``;
 JAX includes it in the jit cache key, so flipping the env var between runs
@@ -36,9 +42,20 @@ ENV_VAR = "GANCTL_PREDICTOR_PRECISION"
 VALID = ("default", "tensorfloat32", "highest")
 
 
-def predictor_precision(config_value: str | None = None) -> str:
-    """Resolve the predictor precision: env var > config > 'highest'."""
-    p = os.environ.get(ENV_VAR) or config_value or "highest"
+def predictor_precision(
+    config_value: str | None = None, fallback: str = "highest"
+) -> str:
+    """Resolve the predictor precision: env var > config > `fallback`.
+
+    fallback='highest' is the eval-path default (FID features, threshold
+    calibration, ControlExtractor, annotation forwards). The IN-TRAINING
+    contrastive battery passes fallback='default': running all six
+    predictors at f32 accumulation alongside the G/D graphs exhausts a
+    16GB v5e at 512²/batch 16 (measured — two concurrently-dispatched
+    step workspaces stop fitting), so the hot path keeps the single-pass
+    MXU mode and the thresholds are validated/re-derived against it via
+    calibrate_thresholds (whose measurement itself runs f32)."""
+    p = os.environ.get(ENV_VAR) or config_value or fallback
     if p == "float32":  # common alias
         p = "highest"
     if p not in VALID:
@@ -48,20 +65,24 @@ def predictor_precision(config_value: str | None = None) -> str:
     return p
 
 
-def predictor_precision_ctx(config_value: str | None = None):
+def predictor_precision_ctx(
+    config_value: str | None = None, fallback: str = "highest"
+):
     """Context manager applying the configured precision to ops traced
     within (usable both around a jitted call and inside traced code)."""
-    return jax.default_matmul_precision(predictor_precision(config_value))
+    return jax.default_matmul_precision(
+        predictor_precision(config_value, fallback)
+    )
 
 
 def with_predictor_precision(
-    fn: Callable, config_value: str | None = None
+    fn: Callable, config_value: str | None = None, fallback: str = "highest"
 ) -> Callable:
     """Wrap fn so its convs/matmuls trace at the configured precision."""
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with predictor_precision_ctx(config_value):
+        with predictor_precision_ctx(config_value, fallback):
             return fn(*args, **kwargs)
 
     return wrapped

@@ -18,11 +18,15 @@ from gan_control_tpu.utils.precision import (
 
 def test_resolution_order(monkeypatch):
     monkeypatch.delenv(ENV_VAR, raising=False)
-    assert predictor_precision() == "highest"                  # default
+    assert predictor_precision() == "highest"                  # eval default
+    # the in-training battery passes fallback='default' (memory-bound)
+    assert predictor_precision(fallback="default") == "default"
     assert predictor_precision("default") == "default"         # config
+    assert predictor_precision("highest", fallback="default") == "highest"
     assert predictor_precision("float32") == "highest"         # alias
     monkeypatch.setenv(ENV_VAR, "tensorfloat32")
     assert predictor_precision("default") == "tensorfloat32"   # env wins
+    assert predictor_precision(fallback="default") == "tensorfloat32"
     monkeypatch.setenv(ENV_VAR, "fp8")
     with pytest.raises(ValueError):
         predictor_precision()
