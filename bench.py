@@ -183,39 +183,48 @@ def bench_train(on_tpu: bool) -> dict:
     state, pred_params, real, zs = h["state"], h["pred_params"], h["real"], h["zs"]
     path_batch = max(1, batch // cfg.path_batch_shrink)
 
-    def one_iter(state, i):
-        state, _ = d_step(state, real, (zs[i % 4],))
-        if i % cfg.d_reg_every == 0:
-            state, _ = d_reg_step(state, real)
-        state, gm = g_step(state, (zs[(i + 1) % 4],), pred_params)
-        if i % cfg.g_reg_every == 0:
-            state, _ = g_reg_step(state, (zs[(i + 2) % 4][:path_batch],))
-        return state, gm
-
-    state, gm = one_iter(state, 0)  # compile all four graphs
+    # compile all four graphs, SYNCING between dispatches: the remat'ed
+    # double-backprop reg workspaces must never be enqueued concurrently
+    # with the d/g workspaces — XLA allocates each execution's temp
+    # workspace at enqueue, and 3+ of these graphs in flight exhaust the
+    # 16GB chip even though each runs with >50% headroom (measured)
+    state, dm = d_step(state, real, (zs[0],))
+    float(dm["d_loss"])
+    state, gm = g_step(state, (zs[1],), pred_params)
     float(gm["g_loss"])
+    state, dr = d_reg_step(state, real)
+    float(dr["d_r1_loss"])
+    state, gr = g_reg_step(state, (zs[2][:path_batch],))
+    float(gr["g_mean_path_length"])
 
-    # one full d_reg cadence window so R1 fires exactly once and
-    # path-length fires cfg.d_reg_every/cfg.g_reg_every times — the
-    # amortized number is what wall-clock training costs (reference
-    # cadence, configs/ffhq.json:73-82). ONE sync per iteration, exactly
-    # like the trainer's metric logging: letting all 4 graphs queue
-    # unsynced allocates their workspaces concurrently and OOMs the 16GB
-    # chip (measured — the graphs individually leave >50% HBM headroom)
+    # Cadence-true amortized cost, each regime measured in its fitting
+    # dispatch profile (reference cadence: configs/ffhq.json:73-82):
+    #   - d+g pipelined unsynced (the production regime; two workspace
+    #     kinds in flight fit),
+    #   - each reg step sync-bounded (one workspace at a time; the sync
+    #     round-trip is charged to the reg term — conservative),
+    # combined as dt_dg + dt_dreg/d_reg_every + dt_greg/g_reg_every.
     n_iters = cfg.d_reg_every if on_tpu else 4
     t0 = time.perf_counter()
     for i in range(n_iters):
-        state, gm = one_iter(state, i)
-        float(gm["g_loss"])
-    dt = (time.perf_counter() - t0) / n_iters
-
-    # step-only secondary metric: the same loop with the reg cadence off
-    t0 = time.perf_counter()
-    for i in range(n_iters):
         state, _ = d_step(state, real, (zs[i % 4],))
         state, gm = g_step(state, (zs[(i + 1) % 4],), pred_params)
-        float(gm["g_loss"])
+    float(gm["g_loss"])  # one fetch drains the pipeline (tunnel-safe)
     dt_step_only = (time.perf_counter() - t0) / n_iters
+
+    n_reg = 4 if on_tpu else 1
+    t0 = time.perf_counter()
+    for i in range(n_reg):
+        state, dr = d_reg_step(state, real)
+        float(dr["d_r1_loss"])
+    dt_dreg = (time.perf_counter() - t0) / n_reg
+    t0 = time.perf_counter()
+    for i in range(n_reg):
+        state, gr = g_reg_step(state, (zs[i % 4][:path_batch],))
+        float(gr["g_mean_path_length"])
+    dt_greg = (time.perf_counter() - t0) / n_reg
+
+    dt = dt_step_only + dt_dreg / cfg.d_reg_every + dt_greg / cfg.g_reg_every
 
     imgs_per_sec = batch / dt
     baseline = 4.0  # nominal per-V100-equivalent imgs/sec (see module doc)
@@ -224,10 +233,13 @@ def bench_train(on_tpu: bool) -> dict:
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
-        "cadence": f"regs included, amortized over {n_iters} iters "
-                   f"(d_reg_every={cfg.d_reg_every}, g_reg_every={cfg.g_reg_every})",
+        "cadence": f"regs included, amortized: {n_iters}-iter pipelined d+g "
+                   f"+ {n_reg}x each reg step at d_reg_every="
+                   f"{cfg.d_reg_every}, g_reg_every={cfg.g_reg_every}",
         "sec_per_iter_batch16": round(dt * batch / 16.0, 4),
         "sec_per_iter_batch16_step_only": round(dt_step_only * batch / 16.0, 4),
+        "sec_per_d_reg": round(dt_dreg, 4),
+        "sec_per_g_reg": round(dt_greg, 4),
     }
 
 
