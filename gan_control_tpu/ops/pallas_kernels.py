@@ -22,11 +22,28 @@ and the parity oracle.
 Measured guidance (v5e): the generator's remaining standalone blur is the
 ToRGB skip upsample with C=3 — a 3/128-lane workload where the NHWC layout
 leaves the VPU almost idle and XLA's conv path wins; the flag therefore
-defaults OFF. The kernels pay off on wide-channel blurs (the discriminator
-ConvLayer path at C>=128) and as the insertion point if a future profile
-shows an XLA fusion break. The big resampling win is elsewhere: the
-modulated up/down convs fold their FIR into the conv kernel itself
-(ops/modulated_conv.py), which removed the hot-path blurs entirely.
+defaults OFF. The big resampling win is elsewhere: the modulated up/down
+convs fold their FIR into the conv kernel itself (ops/modulated_conv.py),
+which removed the hot-path blurs entirely.
+
+D-pyramid blur A/B (tools/blur_roofline_bench.py, batch-16 512px D
+shapes on the real chip, 30-run pipelined means, one controlled
+same-process run — cross-process variance on the tunneled chip is 2-4x,
+so only same-process numbers were trusted):
+
+    pyramid totals   conv (lax)   sepMAC (XLA slices)   blur_sep (Mosaic)
+    bf16             18.0 ms      23.8 ms               17.7 ms
+    f32              23.5 ms      40.9 ms               18.4 ms
+
+The depthwise conv is best-or-tied at every bf16 shape and at the large
+f32 shapes (peaks 35% of HBM roofline; the <=32px shapes sit on a
+~1.5 ms dispatch floor the fused step graph doesn't pay), so the conv
+stays the default; GANCTL_PALLAS=1 selects blur_sep (c%128 shapes) /
+sepMAC for re-tuning on other hardware. Stubbing every D blur out of the
+fused train graphs bounded the whole prize at ~45 ms of the 196 ms
+d_step + ~16 ms of the 242 ms g_step — most of it intrinsic at these
+rooflines. The standing guidance: Pallas blurs are the high-PRECISION
+option (4.3e-7 vs lax's 9.4e-3), not a throughput one.
 
 Precision (measured on v5e vs a float64 oracle, tools/pallas_tpu_smoke.py):
 the Mosaic kernels do TRUE f32 VPU arithmetic — max err 4.3e-7 — while the
@@ -243,6 +260,126 @@ def blur2x_up(x: jax.Array, kernel_1d) -> jax.Array:
     row0 = jnp.stack([phases[:, 0], phases[:, 1]], axis=3).reshape(n, h, 2 * w, c)
     row1 = jnp.stack([phases[:, 2], phases[:, 3]], axis=3).reshape(n, h, 2 * w, c)
     return jnp.stack([row0, row1], axis=2).reshape(n, 2 * h, 2 * w, c)
+
+
+# ---------------------------------------------------------------------------
+# stride-1 separable FIR blur (the D ConvLayer pre-blur, models/blocks.py)
+# ---------------------------------------------------------------------------
+
+
+def _blur_sep_kernel(xp_ref, o_ref, vin, vt, vout, sems, *, rt, ct, th,
+                     h_out, w_out_al, klen):
+    """One row-tile of a separable stride-1 FIR: DMA a (th+klen-1)-row slab
+    of the PADDED input from HBM, run the H pass into a VMEM scratch, the
+    W pass out of it (ref-load slices — Mosaic handles small unaligned
+    static sublane offsets on loads, like the blur2x_down kernel), DMA the
+    th-row result out.
+
+    The last tile's start is clamped to h_out-th (overlap-recompute): the
+    window always lies inside the padded input, and overlapping rows are
+    recomputed identically, so dynamic starts stay size-static. All W
+    extents are pre-aligned to the sublane tile (8) by the caller — HBM
+    memref slices require it."""
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    s = jnp.maximum(jnp.minimum(p * th, h_out - th), 0)
+    in_dma = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(s, th + klen - 1)], vin, sems.at[0]
+    )
+    in_dma.start()
+    in_dma.wait()
+    # accumulate INTO the scratch refs: building the sums as one big value
+    # expression makes Mosaic stack-allocate every term (34MB of scoped
+    # VMEM at 256x256x128 — compile-time OOM); read-modify-write keeps one
+    # slab live at a time
+    for i, tap in enumerate(rt):
+        term = tap * vin[i : i + th, :, :]
+        vt[...] = term if i == 0 else vt[...] + term
+    for j, tap in enumerate(ct):
+        term = tap * vt[:, j : j + w_out_al, :]
+        vout[...] = term if j == 0 else vout[...] + term
+    out_dma = pltpu.make_async_copy(vout, o_ref.at[b, pl.ds(s, th)], sems.at[1])
+    out_dma.start()
+    out_dma.wait()
+
+
+def _blur_tile_rows(h_out, wp, w_out, c, klen, itemsize) -> int:
+    """Largest row-tile whose input slab + H-pass scratch + output + one
+    live accumulation slab fit HALF the VMEM budget (headroom for Mosaic's
+    stack temporaries)."""
+    per_row = (3 * wp + w_out) * c * itemsize
+    th = (_VMEM_BUDGET_BYTES // 2 - (klen - 1) * wp * c * itemsize) // per_row
+    return int(min(max(8, th), h_out))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def blur_sep(x: jax.Array, row_taps: tuple, col_taps: tuple,
+             pad: tuple[int, int]) -> jax.Array:
+    """Separable stride-1 FIR blur on NHWC, CORRELATION semantics
+    (``out[u,v] = sum_ij rt[i]*ct[j]*xp[u+i, v+j]`` over the padded input).
+
+    TPU path: one manual-DMA Mosaic kernel per row tile — the input is
+    read from HBM exactly once and the output written once, vs the
+    depthwise lax.conv (13-30% of roofline) and the XLA shifted-slice form
+    (pad + intermediate materialized). Measured on the batch-16 512px D
+    pyramid: see tools/blur_roofline_bench.py. Differentiable via
+    custom_vjp: the backward pass is the same kernel with flipped taps and
+    complementary pads."""
+    return _blur_sep_impl(x, row_taps, col_taps, pad)
+
+
+def _blur_sep_impl(x, row_taps, col_taps, pad):
+    p0, p1 = pad
+    n, h, w, c = x.shape
+    klen = len(row_taps)
+    assert len(col_taps) == klen
+    hp, wp = h + p0 + p1, w + p0 + p1
+    h_out, w_out = hp - klen + 1, wp - klen + 1
+    # HBM memref slices need W extents aligned to the sublane tile (8):
+    # align the OUTPUT width up, then the input width so the W pass has
+    # klen-1 extra columns; the alignment garbage is sliced off at the end
+    w_out_al = -(-w_out // 8) * 8
+    wp_al = -(-(w_out_al + klen - 1) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (p0, p1), (p0, wp_al - w - p0), (0, 0)))
+    rt = tuple(float(v) for v in row_taps)
+    ct = tuple(float(v) for v in col_taps)
+    th = _blur_tile_rows(h_out, wp_al, w_out_al, c, klen, x.dtype.itemsize)
+    n_tiles = -(-h_out // th)
+    out = pl.pallas_call(
+        functools.partial(
+            _blur_sep_kernel, rt=rt, ct=ct, th=th, h_out=h_out,
+            w_out_al=w_out_al, klen=klen,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out_al, c), x.dtype),
+        grid=(n, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((th + klen - 1, wp_al, c), x.dtype),
+            pltpu.VMEM((th, wp_al, c), x.dtype),
+            pltpu.VMEM((th, w_out_al, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(xp)
+    return out[:, :, :w_out, :]
+
+
+def _blur_sep_fwd(x, row_taps, col_taps, pad):
+    return blur_sep(x, row_taps, col_taps, pad), None
+
+
+def _blur_sep_bwd(row_taps, col_taps, pad, _res, dy):
+    # d corr(pad_p(x), A) / dx = corr(pad_{K-1-p}(dy), flip(A))
+    klen = len(row_taps)
+    q = (klen - 1 - pad[0], klen - 1 - pad[1])
+    dx = blur_sep(
+        dy, tuple(reversed(row_taps)), tuple(reversed(col_taps)), q
+    )
+    return (dx,)
+
+
+blur_sep.defvjp(_blur_sep_fwd, _blur_sep_bwd)
 
 
 def pallas_enabled() -> bool:

@@ -188,15 +188,90 @@ def downsample_2x(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array
     return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
 
 
+def _separable_taps(kernel) -> tuple[np.ndarray, np.ndarray] | None:
+    """(row_taps, col_taps) if the concrete 2-D kernel is rank-1 (an outer
+    product, e.g. every make_kernel(1-D taps) output); None otherwise.
+    Trace-time only — returns None for tracers."""
+    if isinstance(kernel, jax.core.Tracer) or getattr(kernel, "ndim", 0) != 2:
+        return None
+    a = np.asarray(kernel, np.float64)
+    if max(a.shape) > 8:
+        return None
+    u, s, vt = np.linalg.svd(a)
+    if len(s) > 1 and s[1] > 1e-6 * max(s[0], 1e-30):
+        return None
+    return u[:, 0] * np.sqrt(s[0]), vt[0] * np.sqrt(s[0])
+
+
+def _blur_separable(x, row_taps, col_taps, pad):
+    """Separable FIR as shifted-slice multiply-adds (one VPU fusion per
+    axis). Replaces the depthwise ``lax.conv`` for the no-resample blur:
+    XLA densifies a ``feature_group_count=C`` conv into a CxC dense conv —
+    measured 33 ms (4% of HBM roofline) for the D pyramid's 512x512x64
+    bf16 blur on v5e vs ~0.3 ms for this form (tools/blur_roofline_bench
+    .py). The taps are flipped here, so this computes the same TRUE
+    convolution as :func:`upfirdn2d`."""
+    pad0, pad1 = pad
+    xp = jnp.pad(x, ((0, 0), (pad0, pad1), (pad0, pad1), (0, 0)))
+    rt = np.asarray(row_taps, np.float64)[::-1]
+    ct = np.asarray(col_taps, np.float64)[::-1]
+    h_out = xp.shape[1] - len(rt) + 1
+    w_out = xp.shape[2] - len(ct) + 1
+    t = None
+    for i, tap in enumerate(rt):
+        term = xp[:, i : i + h_out, :, :] * jnp.asarray(tap, x.dtype)
+        t = term if t is None else t + term
+    y = None
+    for j, tap in enumerate(ct):
+        term = t[:, :, j : j + w_out, :] * jnp.asarray(tap, x.dtype)
+        y = term if y is None else y + term
+    return y
+
+
 def blur(
     x: jax.Array,
     kernel: jax.Array,
     pad: tuple[int, int],
     upsample_factor: int = 1,
 ) -> jax.Array:
-    """FIR blur with explicit padding (reference: Blur, models/gan_model.py:113-129)."""
+    """FIR blur with explicit padding (reference: Blur, models/gan_model.py:113-129).
+
+    Separable kernels with non-negative pads take the shifted-slice MAC
+    path (see :func:`_blur_separable` — the depthwise conv gets densified
+    by XLA and runs ~100x off the bandwidth roofline on TPU); everything
+    else falls back to the one-conv :func:`upfirdn2d` form."""
     if upsample_factor > 1:
         kernel = kernel * (upsample_factor**2)
+    # Default = the one-conv lax path. Three implementations were A/B'd on
+    # the real v5e at every batch-16 512px D-pyramid shape
+    # (tools/blur_roofline_bench.py): the depthwise conv, the XLA
+    # shifted-slice MAC form, and the manual-DMA Mosaic kernel. In the
+    # controlled same-process run the conv is best-or-tied at every bf16
+    # shape (pyramid totals 18.0 / 23.8 / 17.7 ms) and wins the large f32
+    # shapes; run-to-run variance across processes on the tunneled chip is
+    # 2-4x, so only same-process comparisons were trusted. The alternates
+    # stay available behind GANCTL_PALLAS=1 for re-tuning on other
+    # hardware (ops/pallas_kernels.py module docstring has the table).
+    import os
+
+    if os.environ.get("GANCTL_PALLAS", "0") == "1" and min(pad) >= 0:
+        sep = _separable_taps(kernel)
+        if sep is not None:
+            klen = len(sep[0])
+            # Mosaic kernel needs lane-aligned channels (c%128: HBM memref
+            # slice constraint) and pads<=klen-1 (backward pads stay
+            # non-negative)
+            if (
+                jax.default_backend() == "tpu"
+                and max(pad) <= klen - 1
+                and x.shape[-1] % 128 == 0
+            ):
+                from gan_control_tpu.ops.pallas_kernels import blur_sep
+
+                rt = tuple(float(v) for v in sep[0][::-1])  # corr taps
+                ct = tuple(float(v) for v in sep[1][::-1])
+                return blur_sep(x, rt, ct, (pad[0], pad[1]))
+            return _blur_separable(x, sep[0], sep[1], pad)
     return upfirdn2d(x, kernel, up=1, down=1, pad=pad)
 
 

@@ -74,3 +74,61 @@ def test_vmem_guard_dispatch(monkeypatch):
     # the large case still computes correctly through the lax path
     out = upsample_2x(large[:, :64, :64, :32], k)
     assert out.shape == (1, 128, 128, 32)
+
+
+def test_blur_sep_parity_and_vjp():
+    """Manual-DMA separable blur kernel (interpret mode on CPU): forward
+    matches the one-conv upfirdn2d form, and the custom-vjp backward
+    matches autodiff through the conv form."""
+    import jax
+
+    from gan_control_tpu.ops.pallas_kernels import blur_sep
+    from gan_control_tpu.ops.upfirdn2d import _separable_taps, upfirdn2d
+
+    rng = np.random.default_rng(5)
+    k = make_kernel(K)
+    sep = _separable_taps(k)
+    rt = tuple(float(v) for v in sep[0][::-1])
+    ct = tuple(float(v) for v in sep[1][::-1])
+
+    for pad, shape in (((2, 2), (2, 12, 12, 8)), ((1, 1), (1, 9, 9, 4))):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        want = upfirdn2d(x, k, up=1, down=1, pad=pad)
+        got = blur_sep(x, rt, ct, pad)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+
+        g_want = jax.grad(
+            lambda x: jnp.sum(jnp.sin(upfirdn2d(x, k, up=1, down=1, pad=pad)))
+        )(x)
+        g_got = jax.grad(lambda x: jnp.sum(jnp.sin(blur_sep(x, rt, ct, pad))))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_blur_dispatch_paths(monkeypatch):
+    """blur() defaults to the one-conv lax path (measured best-or-tied on
+    v5e); GANCTL_PALLAS=1 selects the alternates, which agree numerically
+    (on the CPU backend that's the shifted-MAC form; Mosaic needs TPU)."""
+    from gan_control_tpu.ops.upfirdn2d import blur, upfirdn2d
+
+    k = make_kernel(K)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 10, 10, 3)), jnp.float32
+    )
+    want = upfirdn2d(x, k, up=1, down=1, pad=(2, 2))
+    monkeypatch.delenv("GANCTL_PALLAS", raising=False)
+    np.testing.assert_allclose(
+        np.asarray(blur(x, k, pad=(2, 2))), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+    monkeypatch.setenv("GANCTL_PALLAS", "1")
+    np.testing.assert_allclose(
+        np.asarray(blur(x, k, pad=(2, 2))), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+    got_b = blur(x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), pad=(2, 2))
+    np.testing.assert_allclose(
+        np.asarray(got_b, np.float32), np.asarray(want), rtol=0.05, atol=0.05
+    )

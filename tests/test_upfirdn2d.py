@@ -111,3 +111,67 @@ def test_make_kernel_normalized_outer_product():
     assert k.shape == (4, 4)
     np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
     np.testing.assert_allclose(k[0, 0] * 9, k[1, 1], rtol=1e-6)
+
+
+def test_blur_separable_path_matches_conv_form():
+    """The shifted-MAC separable blur == the one-conv upfirdn2d form for
+    rank-1 kernels; non-separable kernels and negative pads fall back."""
+    from gan_control_tpu.ops.upfirdn2d import (
+        _separable_taps,
+        blur,
+        make_kernel,
+        upfirdn2d,
+    )
+
+    from gan_control_tpu.ops.upfirdn2d import _blur_separable
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 5)).astype(np.float32))
+    k = make_kernel((1.0, 3.0, 3.0, 1.0))
+    sep = _separable_taps(k)
+    assert sep is not None
+    got = _blur_separable(x, sep[0], sep[1], pad=(2, 2))
+    want = upfirdn2d(x, k, up=1, down=1, pad=(2, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # asymmetric taps (flip matters) still agree
+    k2 = make_kernel((1.0, 2.0, 4.0, 0.5))
+    sep2 = _separable_taps(k2)
+    got2 = _blur_separable(x, sep2[0], sep2[1], pad=(1, 2))
+    want2 = upfirdn2d(x, k2, up=1, down=1, pad=(1, 2))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-5, atol=1e-6)
+
+    # the blur() dispatch takes the sepMAC path for bf16 only (measured
+    # f32 regression on v5e — see blur() docstring); bf16 parity at bf16
+    # tolerances
+    xb = x.astype(jnp.bfloat16)
+    got_b = blur(xb, k.astype(jnp.bfloat16), pad=(2, 2))
+    np.testing.assert_allclose(
+        np.asarray(got_b, np.float32), np.asarray(want), rtol=0.05, atol=0.05
+    )
+
+    # rank-2 kernel: no separable taps (falls back to the conv path)
+    k_ns = jnp.asarray(np.eye(3, dtype=np.float32) / 3.0)
+    assert _separable_taps(k_ns) is None
+    got3 = blur(x, k_ns, pad=(1, 1))
+    want3 = upfirdn2d(x, k_ns, up=1, down=1, pad=(1, 1))
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want3),
+                               rtol=1e-5, atol=1e-6)
+
+    # negative pad (crop) keeps the conv path and still works
+    got4 = blur(x, k, pad=(-1, 2))
+    assert got4.shape == upfirdn2d(x, k, up=1, down=1, pad=(-1, 2)).shape
+
+
+def test_blur_separable_gradient_flows():
+    import jax
+
+    from gan_control_tpu.ops.upfirdn2d import blur, make_kernel
+
+    k = make_kernel((1.0, 3.0, 3.0, 1.0))
+    x = jnp.ones((1, 8, 8, 2))
+    g = jax.grad(lambda x: jnp.sum(blur(x, k, pad=(2, 2)) ** 2))(x)
+    assert g.shape == x.shape
+    assert float(jnp.max(jnp.abs(g))) > 0
