@@ -148,7 +148,14 @@ def build_train_harness(on_tpu: bool, attr: bool = True) -> dict:
         g_reg_every=tc.get("g_reg_every", 4),
         path_regularize=tc.get("path_regularize", 2.0),
         path_batch_shrink=tc.get("path_batch_shrink", 2),
-        remat_predictors=True,
+        # mirror the trainer's resolution: predictor remat off under the
+        # bf16-no-remat plan (saves ~21 ms/step; A/B'd with full cadence),
+        # on for f32/remat plans. BENCH_REMAT_PRED overrides.
+        remat_predictors=(
+            os.environ["BENCH_REMAT_PRED"] == "1"
+            if "BENCH_REMAT_PRED" in os.environ
+            else not (mc["mixed_precision"] and not mc["remat"])
+        ),
     )
     # reg steps on remat'ed clones (the trainer's remat_reg plan): their
     # double-backprop graphs don't fit 512² un-remat'ed even in bf16

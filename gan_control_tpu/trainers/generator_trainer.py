@@ -132,6 +132,15 @@ class GeneratorTrainer:
             ada_enabled=tc.get("augment", {}).get("enabled", False),
             ada_target=tc.get("augment", {}).get("ada_target", 0.6),
             ada_length=tc.get("augment", {}).get("ada_length", 500_000),
+            # predictor-forward remat in g_step: OFF under the bf16-no-remat
+            # memory plan (activations fit; recomputing the 6-net battery
+            # in the backward costs ~21 ms/step at 512²/batch 16 on v5e —
+            # A/B'd with the full cadence resident), ON for the f32/remat
+            # plans where memory is the binding constraint
+            remat_predictors=mc.get(
+                "remat_predictors",
+                not (mc.get("mixed_precision", False) and not mc.get("remat", False)),
+            ),
         )
         augment_fn = None
         if self.step_cfg.ada_enabled:

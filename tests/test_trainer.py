@@ -348,3 +348,21 @@ def test_trainer_saves_annotated_matrices(tmp_path, monkeypatch):
     assert (img / "attribute_matrix" / "000001.jpg").exists()
     # no age loss enabled -> no age matrix
     assert not (img / "age_matrix").exists()
+
+
+def test_remat_predictors_resolution(tmp_path):
+    """remat_predictors defaults OFF under the bf16-no-remat memory plan
+    (measured ~21 ms/step win on v5e) and ON for f32/remat plans;
+    model_config.remat_predictors overrides either way."""
+    cases = [
+        ({"mixed_precision": True}, False),
+        ({"mixed_precision": True, "remat": True}, True),
+        ({}, True),
+        ({"mixed_precision": True, "remat_predictors": True}, True),
+        ({"mixed_precision": False, "remat_predictors": False}, False),
+    ]
+    for extra, want in cases:
+        cfg = tiny_config(tmp_path)
+        cfg["model_config"].update(extra)
+        trainer = GeneratorTrainer(config=cfg, init_dirs=False)
+        assert trainer.step_cfg.remat_predictors is want, (extra, want)
