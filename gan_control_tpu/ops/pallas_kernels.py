@@ -352,8 +352,8 @@ def _blur_sep_impl(x, row_taps, col_taps, pad):
         ),
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_out_al, c), x.dtype),
         grid=(n, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((th + klen - 1, wp_al, c), x.dtype),
             pltpu.VMEM((th, wp_al, c), x.dtype),
