@@ -6,7 +6,9 @@ Given a trained controller dir, demonstrates:
   1. unconditional generation with per-group truncation,
   2. setting explicit controls (pose / age / hair / illumination),
   3. per-group interpolation gifs,
-  4. recovering controls from an image and re-applying them.
+  4. recovering controls from generated images and re-applying them to a new
+     identity (runs when the generator's args.json carries enabled predictor
+     loss blocks; needs converted predictor checkpoints for meaningful values).
 
 Usage:
     python examples/inference_example.py --controller_dir <dir> --out out/
@@ -29,6 +31,11 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # a sitecustomize on TPU boxes may pin the platform; honor an
+        # explicit env override (e.g. JAX_PLATFORMS=cpu for a dry run)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import numpy as np
 
     from gan_control_tpu.inference.controller import Controller
@@ -75,6 +82,38 @@ def main():
             style_dim=ctrl.config["model_config"].get("latent_size", 512),
         )
         save_gif(frames, out / f"interp_{group}.gif", nrow=args.batch)
+
+    # 4. recover controls from the generated batch and re-apply them to a
+    #    NEW identity — the predictor battery runs only when the phase-1
+    #    config (generator/args.json) has enabled loss blocks
+    import jax.numpy as jnp
+
+    tc = ctrl.config.get("training_config", {})
+    extractable = {
+        k: tc[k]
+        for k in ("orientation_loss", "age_loss", "hair_loss")
+        if isinstance(tc.get(k), dict) and tc[k].get("enabled")
+    }
+    if extractable:
+        from gan_control_tpu.inference.extract_controls import ControlExtractor
+
+        extractor = ControlExtractor(extractable)
+        recovered = extractor.extract(np.asarray(imgs) * 2.0 - 1.0)
+        reapply = {}
+        for group, col in (("orientation", "orientation"), ("age", "age"),
+                           ("hair", "hair")):
+            if col in recovered and group in ctrl.fc_controls:
+                v = np.asarray(recovered[col], np.float32)
+                reapply[group] = jnp.asarray(v.reshape(len(v), -1))
+        if reapply:
+            imgs3, _, _ = ctrl.gen_batch_by_controls(
+                batch_size=args.batch, rng=jax.random.PRNGKey(7), **reapply
+            )
+            save_image_grid(np.asarray(imgs3), out / "recovered_controls.jpg",
+                            nrow=args.batch)
+    else:
+        print("step 4 (extract controls) skipped: generator args.json has no "
+              "enabled predictor loss blocks")
 
     print(f"wrote {sorted(p.name for p in out.iterdir())} -> {out}")
 
