@@ -1,0 +1,232 @@
+"""Production serving path — one device dispatch per request.
+
+``Controller.gen_batch_by_controls`` is faithful to the reference API
+(reference inference/controller.py:29-54) but pays per-request Python
+dispatch: an unjitted ``map_latent`` apply, one unjitted FcStack apply per
+controlled group, host-side noise broadcasting, and a fresh jit signature
+for every distinct batch size. None of that matters in a notebook; all of
+it matters behind an endpoint, where every un-batched op dispatch is a
+tunnel/PCIe round-trip and every new batch size is a recompile.
+
+``ServingController`` restructures the dispatch TPU-side:
+
+- the WHOLE request — map z->w, per-group FcStack controllers, slice
+  insertion, synthesis, [0,1] normalization — is ONE jitted executable;
+- executables are cached per (controlled-group set, latent kind, noise
+  mode, batch bucket) and can be precompiled with ``warmup()`` before
+  traffic arrives;
+- request batches are padded to a fixed bucket ladder so arbitrary request
+  sizes reuse the compiled ladder (static shapes, no recompiles). Rows are
+  independent in G (no cross-batch ops anywhere in synthesis), so padding
+  cannot change the first ``n`` results — asserted by tests/test_serving.py.
+
+The returned images/latents match ``gen_batch_by_controls`` numerically
+(same ops, same rng split discipline); parity is tested.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_control_tpu.inference.controller import Controller
+from gan_control_tpu.latent.groups import insert_group_latent
+from gan_control_tpu.utils.logging_utils import get_logger
+
+_log = get_logger(__name__)
+
+
+class ServingController(Controller):
+    """Bucketed, fully-jitted controlled generation for serving loops.
+
+    ``buckets``: ascending batch-size ladder; a request of ``n`` images is
+    padded to the smallest bucket >= n. Keep the ladder short — each
+    (group-set, bucket) pair is one compiled executable.
+    """
+
+    def __init__(self, controller_dir, buckets: tuple[int, ...] = (1, 4, 16, 64)):
+        super().__init__(controller_dir)
+        buckets = tuple(sorted({int(b) for b in buckets}))
+        if not buckets or buckets[0] < 1:
+            raise ValueError(f"invalid bucket ladder: {buckets!r}")
+        self.buckets = buckets
+        self._serve_cache: dict[Any, Any] = {}
+
+    # -- plumbing -------------------------------------------------------------
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        raise ValueError(
+            f"request batch {n} exceeds the largest bucket {self.buckets[-1]}; "
+            f"split the request or extend the ladder"
+        )
+
+    def control_dim(self, head: str) -> int:
+        return (
+            self.config_controls.get(head, {})
+            .get("model_config", {})
+            .get("in_dim", 3)
+        )
+
+    def _route(self, controls: dict) -> dict[str, tuple[str, np.ndarray]]:
+        """control-group name -> (controller head, value); 8-column
+        'expression' routes to the 'expression_q' head like
+        gen_batch_by_controls."""
+        routed: dict[str, tuple[str, np.ndarray]] = {}
+        for group, value in controls.items():
+            value = np.asarray(value, np.float32)
+            if value.ndim == 1:
+                value = value[:, None]
+            if (group == "expression" and value.shape[-1] == 8
+                    and "expression_q" in self.fc_controls):
+                routed[group] = ("expression_q", value)
+            elif group in self.fc_controls:
+                routed[group] = (group, value)
+            else:
+                raise ValueError(
+                    f"no controller for group '{group}'; have "
+                    f"{sorted(self.fc_controls)}"
+                )
+        return routed
+
+    def _serve_fn(self, heads: tuple[tuple[str, str], ...],
+                  input_is_latent: bool, static_noise: bool):
+        key = (heads, input_is_latent, static_noise)
+        fn = self._serve_cache.get(key)
+        if fn is not None:
+            return fn
+
+        model, spec = self.model, self.spec
+        fc = {head: self.fc_controls[head] for _, head in heads}
+
+        def run(params, fc_params, latent, controls, noise1, rng):
+            w = (latent if input_is_latent
+                 else model.apply(params, latent, method="map_latent"))
+            for group, head in heads:
+                group_w = fc[head].apply(fc_params[head], controls[group])
+                w = insert_group_latent(
+                    spec, w, group_w,
+                    "expression" if head == "expression_q" else group,
+                )
+            noise = None
+            if static_noise:
+                # broadcast the fixed [1,H,W,1] noise planes on device —
+                # the host-side expend_noise copy is pure dispatch overhead
+                noise = [
+                    jnp.broadcast_to(n, (w.shape[0],) + n.shape[1:])
+                    for n in noise1
+                ]
+            img, w_out = model.apply(
+                params, [w], return_latents=True, input_is_latent=True,
+                noise=noise, rngs={"noise": rng},
+            )
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0), w_out
+
+        fn = jax.jit(run)
+        self._serve_cache[key] = fn
+        return fn
+
+    # -- the serving entry point ----------------------------------------------
+
+    def generate(
+        self,
+        batch_size: int | None = None,
+        latent: jax.Array | None = None,
+        input_is_latent: bool = False,
+        static_noise: bool = True,
+        rng: jax.Array | None = None,
+        **controls,
+    ):
+        """One-dispatch controlled generation.
+
+        Returns ``(images, latent_in, latent_w)`` as numpy, sliced to the
+        request size — the ``gen_batch_by_controls`` triple. ``controls``
+        values are [n, dim] arrays keyed by group name.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        rng, k_z, k_noise = jax.random.split(rng, 3)
+
+        routed = self._route(controls)
+        if batch_size is not None:
+            n = int(batch_size)
+        elif latent is not None:
+            n = int(np.asarray(latent).shape[0])
+        elif routed:
+            n = len(next(iter(routed.values()))[1])
+        else:
+            raise ValueError("need batch_size, latent, or at least one control")
+        for group, (_, v) in routed.items():
+            if len(v) != n:
+                raise ValueError(
+                    f"control '{group}' has {len(v)} rows for a batch of {n}"
+                )
+
+        style_dim = self.config["model_config"].get("latent_size", 512)
+        if latent is None:
+            if input_is_latent:
+                raise ValueError("input_is_latent=True requires `latent`")
+            latent = jax.random.normal(k_z, (n, style_dim))
+        latent = jnp.asarray(latent, jnp.float32)
+        if latent.shape[0] != n:
+            raise ValueError(f"latent has {latent.shape[0]} rows for batch {n}")
+
+        bucket = self.bucket_for(n)
+
+        def pad(a: jax.Array) -> jax.Array:
+            if a.shape[0] == bucket:
+                return a
+            fill = jnp.zeros((bucket - a.shape[0],) + a.shape[1:], a.dtype)
+            return jnp.concatenate([a, fill], axis=0)
+
+        heads = tuple(sorted((g, h) for g, (h, _) in routed.items()))
+        fn = self._serve_fn(heads, input_is_latent, static_noise)
+        img, w_out = fn(
+            self.params,
+            {h: self.fc_params[h] for _, h in heads},
+            pad(latent),
+            {g: pad(jnp.asarray(v)) for g, (_, v) in routed.items()},
+            self.noise,
+            k_noise,
+        )
+        return np.asarray(img[:n]), np.asarray(latent), np.asarray(w_out[:n])
+
+    def warmup(self, buckets: tuple[int, ...] | None = None,
+               groups: list[str] | None = None):
+        """Precompile the serve executables ahead of traffic: one jitted
+        (group-set, bucket) executable per ladder rung for the given group
+        set (default: every controllable head jointly; when both the 64-d
+        'expression' and the 8-class 'expression_q' heads exist, the
+        expression_q variant is warmed as a second set)."""
+        buckets = self.buckets if buckets is None else tuple(buckets)
+        sets: list[dict[str, np.ndarray]] = []
+        if groups is not None:
+            sets.append({g: np.zeros((1, self.control_dim(g)), np.float32)
+                         for g in groups})
+        else:
+            primary = {}
+            for head in sorted(self.fc_controls):
+                group = "expression" if head == "expression_q" else head
+                if head == "expression_q" and "expression" in self.fc_controls:
+                    # collides with the 64-d head on the 'expression' key:
+                    # warmed separately below
+                    continue
+                dim = 8 if head == "expression_q" else self.control_dim(head)
+                primary[group] = np.zeros((1, dim), np.float32)
+            if primary:
+                sets.append(primary)
+            if "expression_q" in self.fc_controls and "expression" in self.fc_controls:
+                sets.append({"expression": np.zeros((1, 8), np.float32)})
+        for b in buckets:
+            for cset in sets:
+                _log.info("serving warmup: bucket %d, groups %s",
+                          b, sorted(cset))
+                self.generate(
+                    batch_size=b, rng=jax.random.PRNGKey(0),
+                    **{g: np.repeat(v, b, axis=0) for g, v in cset.items()},
+                )

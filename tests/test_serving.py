@@ -1,0 +1,177 @@
+"""ServingController: one-dispatch controlled generation for serving loops.
+
+Asserts the three properties the module docstring promises
+(gan_control_tpu/inference/serving.py):
+  - numeric parity with the reference-faithful
+    ``Controller.gen_batch_by_controls`` path,
+  - bucket padding never changes the first ``n`` results and never
+    recompiles within a bucket,
+  - ``warmup()`` precompiles the ladder so live traffic hits the cache.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_control_tpu.models.controller import FcStack
+from gan_control_tpu.models.factory import build_generator, build_group_spec
+from gan_control_tpu.utils import checkpoint as ckpt_lib
+from gan_control_tpu.utils.config import write_json
+
+STYLE = 64
+SIZE = 16
+
+
+def tiny_model_config():
+    return {
+        "save_name": "tiny",
+        "model_config": {
+            "vanilla": False,
+            "img_channels": 3,
+            "split_fc": True,
+            "marge_fc": False,
+            "latent_size": STYLE,
+            "size": SIZE,
+            "n_mlp": 2,
+            "channel_multiplier": 0.25,
+            "max_channels": 32,
+            "g_noise_mode": "normal",
+        },
+        "training_config": {
+            "batch": 8,
+            "mini_batch": 8,
+            "sub_groups_dict": {
+                "orientation": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 32]},
+                "other": {"place_in_mini_batch": [4, 8], "place_in_latent": [32, 64]},
+            },
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def controller_root(tmp_path_factory):
+    """A self-contained controller dir (generator + one orientation head) in
+    the reference layout, built directly — no training needed."""
+    root = tmp_path_factory.mktemp("serving_ctrl")
+
+    gen_dir = root / "generator"
+    gen_dir.mkdir()
+    config = tiny_model_config()
+    write_json(config, gen_dir / "args.json")
+    spec = build_group_spec(config)
+    gen = build_generator(config, spec)
+    z = jnp.zeros((1, STYLE))
+    params = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, [z]
+    )
+    ckpt_lib.save_checkpoint(gen_dir / "checkpoint", {"g_ema": params}, 1)
+
+    cdir = root / "orientation_serve"
+    cdir.mkdir()
+    write_json(
+        {"model_config": {"n_mlp": 2, "mid_dim": 32, "in_dim": 3, "lr_mlp": 0.01}},
+        cdir / "args.json",
+    )
+    fc = FcStack(n_mlp=2, mid_dim=32, out_dim=32, lr_mlp=0.01)
+    fc_params = fc.init(jax.random.PRNGKey(2), jnp.zeros((1, 3)))
+    ckpt_lib.save_checkpoint(cdir / "checkpoint", {"controller": fc_params}, 1)
+    return root
+
+
+@pytest.fixture(scope="module")
+def serving(controller_root):
+    from gan_control_tpu.inference.serving import ServingController
+
+    return ServingController(controller_root, buckets=(4, 8))
+
+
+def _orientation(n, seed=0):
+    return np.random.default_rng(seed).normal(size=(n, 3)).astype(np.float32) * 10.0
+
+
+def test_parity_with_gen_batch_by_controls(controller_root, serving):
+    """Padded one-dispatch serving returns the same triple as the
+    reference-faithful multi-dispatch path (same rng, same latent)."""
+    from gan_control_tpu.inference.controller import Controller
+
+    ctrl = Controller(controller_root)
+    n = 3  # pads to bucket 4
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (n, STYLE)))
+    controls = _orientation(n)
+
+    img_ref, z_ref, w_ref = ctrl.gen_batch_by_controls(
+        latent=z, rng=jax.random.PRNGKey(3), orientation=controls
+    )
+    img, z_out, w_out = serving.generate(
+        latent=z, rng=jax.random.PRNGKey(3), orientation=controls
+    )
+    assert img.shape == (n, SIZE, SIZE, 3)
+    np.testing.assert_allclose(img, np.asarray(img_ref), atol=2e-5)
+    np.testing.assert_allclose(z_out, np.asarray(z_ref), atol=1e-6)
+    np.testing.assert_allclose(w_out, np.asarray(w_ref), atol=2e-5)
+    # the controlled slice is exactly the controller head's output
+    want = np.asarray(ctrl.generate_group_w_latent("orientation", controls))
+    got = w_out[:, 0, :32] if w_out.ndim == 3 else w_out[:, :32]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bucket_reuse_no_recompile(serving):
+    """Different request sizes within one bucket share one compiled
+    executable; only a new bucket adds a trace."""
+    heads = (("orientation", "orientation"),)
+    serving.generate(batch_size=2, rng=jax.random.PRNGKey(0),
+                     orientation=_orientation(2))
+    fn = serving._serve_cache[(heads, False, True)]
+    n_traces = fn._cache_size()
+    serving.generate(batch_size=3, rng=jax.random.PRNGKey(1),
+                     orientation=_orientation(3))
+    assert fn._cache_size() == n_traces, "same-bucket request recompiled"
+    serving.generate(batch_size=6, rng=jax.random.PRNGKey(2),
+                     orientation=_orientation(6))
+    assert fn._cache_size() == n_traces + 1
+
+
+def test_bucket_ladder(serving):
+    assert serving.bucket_for(1) == 4
+    assert serving.bucket_for(4) == 4
+    assert serving.bucket_for(5) == 8
+    with pytest.raises(ValueError, match="exceeds the largest bucket"):
+        serving.bucket_for(9)
+    with pytest.raises(ValueError, match="control 'orientation' has 2 rows"):
+        serving.generate(batch_size=3, orientation=_orientation(2))
+    with pytest.raises(ValueError, match="no controller for group"):
+        serving.generate(batch_size=2, hair=_orientation(2))
+
+
+def test_warmup_precompiles_ladder(controller_root):
+    """After warmup, live requests of any size <= the ladder max hit the
+    compiled cache — zero additional traces."""
+    from gan_control_tpu.inference.serving import ServingController
+
+    sc = ServingController(controller_root, buckets=(2, 4))
+    sc.warmup()
+    key = ((("orientation", "orientation"),), False, True)
+    assert key in sc._serve_cache
+    fn = sc._serve_cache[key]
+    assert fn._cache_size() == 2  # one trace per ladder rung
+    img, _, _ = sc.generate(batch_size=3, rng=jax.random.PRNGKey(5),
+                            orientation=_orientation(3))
+    assert fn._cache_size() == 2, "warmed request recompiled"
+    assert img.shape == (3, SIZE, SIZE, 3)
+    assert np.isfinite(img).all()
+
+
+def test_random_noise_path(serving):
+    """static_noise=False draws fresh injection noise inside the fused
+    executable (rng-keyed, still one dispatch)."""
+    img1, _, _ = serving.generate(batch_size=2, rng=jax.random.PRNGKey(0),
+                                  static_noise=False,
+                                  orientation=_orientation(2))
+    img2, _, _ = serving.generate(batch_size=2, rng=jax.random.PRNGKey(1),
+                                  static_noise=False,
+                                  orientation=_orientation(2))
+    assert img1.shape == (2, SIZE, SIZE, 3)
+    assert np.isfinite(img1).all() and np.isfinite(img2).all()
+    assert not np.allclose(img1, img2)
