@@ -22,6 +22,14 @@ tunnel/PCIe round-trip and every new batch size is a recompile.
 
 The returned images/latents match ``gen_batch_by_controls`` numerically
 (same ops, same rng split discipline); parity is tested.
+
+Measured on a real v5e over the axon tunnel (tools/serving_bench.py,
+512px flagship generator + 4 controlled groups, p50 of 10 requests,
+2026-08-17): batch 1 — fused 3123 ms vs multi-dispatch 4954 ms (1.59x);
+batch 16 — 5249 vs 5560 ms (1.06x: the batch-16 request is bound by
+shipping 16 x 3 MB images back through the tunnel, which both paths pay).
+Absolute numbers are tunnel-specific; the same-process A/B ratio is the
+datum, and the dispatch win grows with round-trip cost per op.
 """
 
 from __future__ import annotations
