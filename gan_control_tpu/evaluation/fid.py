@@ -46,6 +46,52 @@ def make_feature_fn(params):
     return run
 
 
+def make_sharded_gen_feature_fn(generator, batch: int, style_dim: int,
+                                mesh=None, axis: str = "data"):
+    """One fused jitted program per FID chunk, sharded over the device mesh.
+
+    Returns ``run(g_params, feature_params, rng) -> [chunk, 2048]`` where
+    ``chunk`` (exposed as ``run.batch``) is ``batch`` rounded up to a
+    multiple of the mesh size. In-graph: sample z (batch-sharded over the
+    1-D ``data`` mesh), synthesize, renorm to [0,1], InceptionV3 pool3 at
+    predictor precision — images never leave the devices; only the 2048-d
+    features are gathered. The reference's equivalent is two DataParallel
+    forwards with a host hop between them (fid_utils/fid.py:15-40).
+
+    Values are deterministic in ``rng`` regardless of mesh size (sharding
+    changes layout, not math) — 8-device vs 1-device parity is tested. The
+    rng split discipline (k_z, k_noise) matches the trainer's unsharded
+    ``_gen_batch`` so FID curves are comparable across mesh sizes.
+    """
+    import functools
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gan_control_tpu.utils.precision import predictor_precision_ctx
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), (axis,))
+    chunk = -(-batch // mesh.size) * mesh.size
+    shard = NamedSharding(mesh, P(axis))
+    module = InceptionV3Features()
+
+    @functools.partial(jax.jit, out_shardings=shard)
+    def _run(g_params, feature_params, rng):
+        k_z, k_noise = jax.random.split(rng)
+        z = jax.random.normal(k_z, (chunk, style_dim))
+        z = jax.lax.with_sharding_constraint(z, shard)
+        img, _ = generator.apply(g_params, [z], rngs={"noise": k_noise})
+        img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+        with predictor_precision_ctx():
+            return module.apply(feature_params, img)
+
+    def run(g_params, feature_params, rng):
+        return _run(g_params, feature_params, rng)
+
+    run.batch = chunk
+    return run
+
+
 def compute_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(mean [2048], cov [2048,2048]) in float64."""
     f = np.asarray(features, np.float64)
@@ -101,12 +147,15 @@ def extract_features_from_generator(
     batch_size: int,
     rng: jax.Array,
 ) -> np.ndarray:
-    """Features of generator output (gen_batch_fn: rng -> images [0,1])."""
+    """Features of generator output (gen_batch_fn: rng -> images [0,1]).
+
+    With ``feature_fn=None``, ``gen_batch_fn`` returns features directly
+    (the fused sharded program from make_sharded_gen_feature_fn)."""
     feats = []
     for _ in range(-(-n_samples // batch_size)):
         rng, k = jax.random.split(rng)
-        imgs = gen_batch_fn(k)
-        feats.append(np.asarray(feature_fn(imgs)))
+        out = gen_batch_fn(k)
+        feats.append(np.asarray(out if feature_fn is None else feature_fn(out)))
     return np.concatenate(feats, axis=0)[:n_samples]
 
 

@@ -234,6 +234,7 @@ class GeneratorTrainer:
         self.fid_cfg = ec.get("fid", {"enabled": False})
         self.separability_cfg = ec.get("separability", {"enabled": False})
         self._fid_feature_fn = None
+        self._fid_inception_params = None
         self._sample_z_fixed = None
 
     # ------------------------------------------------------------------
@@ -499,25 +500,26 @@ class GeneratorTrainer:
                         weights,
                     )
                     return None
-            self._fid_feature_fn = fid_lib.make_feature_fn(params)
-        batch = self.tc["batch"]
+            # the fused sharded chunk program: z sampled in-graph and
+            # batch-sharded over the trainer mesh, synthesis + InceptionV3
+            # on the shards, only [chunk, 2048] features gathered — FID
+            # sampling scales linearly over chips instead of replicating
+            self._fid_feature_fn = fid_lib.make_sharded_gen_feature_fn(
+                self.generator, self.tc["batch"], self.step_cfg.style_dim,
+                mesh=self.mesh,
+            )
+            self._fid_inception_params = jax.device_put(params, self.replicated)
+        fused, inception_params = self._fid_feature_fn, self._fid_inception_params
         g_ema = self.state.g_ema
 
-        @jax.jit
-        def _gen_batch(gp, rng):
-            k1, k2 = jax.random.split(rng)
-            z = jax.random.normal(k1, (batch, self.step_cfg.style_dim))
-            img, _ = self.generator.apply(gp, [z], rngs={"noise": k2})
-            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
-
-        def gen_batch(rng):
-            return _gen_batch(g_ema, rng)
+        def gen_feats(rng):
+            return fused(g_ema, inception_params, rng)
 
         n = self.fid_cfg.get("num_of_samples", 50000)
         if self.tc.get("debug"):
             n = min(n, 500)
         return fid_lib.evaluate_fid(
-            gen_batch, self._fid_feature_fn, stats_path, n_samples=n, batch_size=batch
+            gen_feats, None, stats_path, n_samples=n, batch_size=fused.batch
         )
 
     def evaluate_separability(self, i: int):

@@ -42,3 +42,47 @@ def test_fid_pipeline_self_consistency(tmp_path):
 
     assert np.isfinite(fid_same) and np.isfinite(fid_diff)
     assert fid_diff > fid_same, (fid_same, fid_diff)
+
+
+@pytest.mark.slow
+def test_sharded_gen_feature_parity():
+    """The fused sharded FID chunk program: identical features on an
+    8-device mesh and a 1-device submesh (sharding changes layout, not
+    math), output actually sharded over the data axis, and batch rounded
+    up to a mesh multiple."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gan_control_tpu.models.generator import Generator
+
+    gen = Generator(size=32, style_dim=64, n_mlp=2, channel_multiplier=0.25,
+                    max_channels=32)
+    g_params = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        [jnp.zeros((1, 64))],
+    )
+    f_params = init_params(jax.random.PRNGKey(2))
+
+    devs = np.array(jax.devices())
+    mesh8 = Mesh(devs, ("data",))
+    mesh1 = Mesh(devs[:1], ("data",))
+
+    run8 = fid_lib.make_sharded_gen_feature_fn(gen, 6, 64, mesh=mesh8)
+    run1 = fid_lib.make_sharded_gen_feature_fn(gen, 8, 64, mesh=mesh1)
+    assert run8.batch == 8  # 6 rounded up to the mesh multiple
+    assert run1.batch == 8
+
+    rng = jax.random.PRNGKey(7)
+    f8 = run8(g_params, f_params, rng)
+    f1 = run1(jax.device_put(g_params, NamedSharding(mesh1, P())),
+              jax.device_put(f_params, NamedSharding(mesh1, P())), rng)
+    assert f8.shape == (8, 2048)
+    assert f8.sharding.is_equivalent_to(NamedSharding(mesh8, P("data")), f8.ndim)
+    np.testing.assert_allclose(np.asarray(f8), np.asarray(f1), atol=2e-4)
+
+    # the evaluate_fid plumbing accepts the fused program (feature_fn=None)
+    feats = fid_lib.extract_features_from_generator(
+        lambda k: run8(g_params, f_params, k), None, 12, run8.batch,
+        jax.random.PRNGKey(3),
+    )
+    assert feats.shape == (12, 2048)
+    assert np.isfinite(feats).all()
