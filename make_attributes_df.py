@@ -44,6 +44,9 @@ def main():
     parser.add_argument("--align_3d", action="store_true",
                         help="3D-align faces before the R-Net (needs the "
                         "face-alignment port; default off)")
+    parser.add_argument("--no_shard", action="store_true",
+                        help="disable sharding the sweep over the device "
+                        "mesh (single-device batches)")
     args = parser.parse_args()
     _setup_cache()
 
@@ -70,13 +73,35 @@ def main():
         tc, align_fn=align_fn, rng=jax.random.PRNGKey(1), align_3d=args.align_3d
     )
 
+    # shard the sweep over the device mesh: z is committed batch-sharded, so
+    # the already-jitted generation and predictor programs partition over the
+    # data axis (GSPMD) — the 100K-sample sweep scales linearly over chips.
+    # z is pre-sampled with gen_batch's own rng split discipline, so sharded
+    # and unsharded runs produce identical rows (tested).
+    sharding = None
+    n_dev = len(jax.devices())
+    if not args.no_shard and n_dev > 1 and args.batch_size % n_dev == 0:
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(_np.array(jax.devices()), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+        print(f"sharding the sweep over {n_dev} devices")
+    style_dim = model.config["model_config"].get("latent_size", 512)
+
     rows = []
     rng = jax.random.PRNGKey(0)
     n_batches = args.number_of_samples // args.batch_size
     for b in range(n_batches):
         rng, k = jax.random.split(rng)
+        z = None
+        if sharding is not None:
+            _, k_z, _ = jax.random.split(k, 3)  # gen_batch's own split
+            z = jax.device_put(
+                jax.random.normal(k_z, (args.batch_size, style_dim)), sharding
+            )
         out, latent, latent_w = model.gen_batch(
-            batch_size=args.batch_size, normalize=False, rng=k
+            batch_size=args.batch_size, normalize=False, latent=z, rng=k
         )
         latent_np = np.asarray(latent)
         w_np = np.asarray(latent_w)[:, 0, :]  # per-image w (identical rows of w+)

@@ -273,6 +273,43 @@ def test_make_attributes_df_uses_control_extractor(phase1_dir, tmp_path, monkeyp
     assert np.all(np.isfinite(np.stack(df["orientation"])))
 
 
+def test_make_attributes_df_sharded_parity(phase1_dir, tmp_path, monkeypatch):
+    """The phase-2a sweep shards over the 8-device mesh (batch_size
+    divisible by the device count) and produces IDENTICAL rows to the
+    --no_shard single-device run — sharding changes layout, not math."""
+    import sys
+    import shutil
+    import pandas as pd
+    import make_attributes_df as cli
+
+    model_dir = tmp_path / "phase1_shard"
+    shutil.copytree(phase1_dir, model_dir)
+    config = json.loads((model_dir / "args.json").read_text())
+    config["training_config"]["orientation_loss"] = {"enabled": True}
+    (model_dir / "args.json").write_text(json.dumps(config))
+
+    outs = {}
+    for mode, flag in (("sharded", []), ("single", ["--no_shard"])):
+        out = tmp_path / f"df_{mode}.pkl"
+        monkeypatch.setattr(sys, "argv", [
+            "make_attributes_df.py", "--model_dir", str(model_dir),
+            "--batch_size", "8", "--number_of_samples", "8",
+            "--save_path", str(out), *flag,
+        ])
+        cli.main()
+        outs[mode] = pd.read_pickle(out)
+
+    assert len(outs["sharded"]) == 8
+    # predictor columns tolerate partitioned-reduction float drift (the
+    # softmax-expectation spans ±99 degrees; observed ~1e-4 relative)
+    for col, tol in (("latents", dict(atol=1e-5)),
+                     ("latents_w", dict(atol=1e-5)),
+                     ("orientation", dict(rtol=1e-3, atol=3e-2))):
+        a = np.stack(outs["sharded"][col])
+        b = np.stack(outs["single"][col])
+        np.testing.assert_allclose(a, b, err_msg=col, **tol)
+
+
 def test_controller_config_inventory():
     """Every shipped controller config parses and is launchable: the loss
     maps to a latent group, the attribute column resolves for its in_dim,
