@@ -504,8 +504,15 @@ class GeneratorTrainer:
             # batch-sharded over the trainer mesh, synthesis + InceptionV3
             # on the shards, only [chunk, 2048] features gathered — FID
             # sampling scales linearly over chips instead of replicating
+            # fid.batch_size: chunk size of the sweep (defaults to the train
+            # batch). Measured standalone on v5e @512² bf16: chunk 16 ->
+            # 389 imgs/s, chunk 64 -> 500 imgs/s (a 50K sweep in ~100 s);
+            # the default stays at the train batch because the eval runs
+            # while training workspaces hold HBM
             self._fid_feature_fn = fid_lib.make_sharded_gen_feature_fn(
-                self.generator, self.tc["batch"], self.step_cfg.style_dim,
+                self.generator,
+                int(self.fid_cfg.get("batch_size", self.tc["batch"])),
+                self.step_cfg.style_dim,
                 mesh=self.mesh,
             )
             self._fid_inception_params = jax.device_put(params, self.replicated)
