@@ -53,15 +53,43 @@ class ServingController(Controller):
     ``buckets``: ascending batch-size ladder; a request of ``n`` images is
     padded to the smallest bucket >= n. Keep the ladder short — each
     (group-set, bucket) pair is one compiled executable.
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` — requests are
+    batch-sharded over it and the fused executable spans the chips
+    (throughput serving over ICI; rows are independent, so no collectives
+    beyond the final gather). Buckets must divide the mesh size.
     """
 
-    def __init__(self, controller_dir, buckets: tuple[int, ...] = (1, 4, 16, 64)):
+    def __init__(self, controller_dir, buckets: tuple[int, ...] = (1, 4, 16, 64),
+                 mesh=None):
         super().__init__(controller_dir)
         buckets = tuple(sorted({int(b) for b in buckets}))
         if not buckets or buckets[0] < 1:
             raise ValueError(f"invalid bucket ladder: {buckets!r}")
         self.buckets = buckets
         self._serve_cache: dict[Any, Any] = {}
+        # optional 1-D device mesh: requests are batch-sharded over it, so
+        # one fused executable spans the chips (throughput serving). Params
+        # and the fixed noise planes replicate; every bucket must divide
+        # evenly so each chip gets identical static shapes.
+        self.mesh = mesh
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bad = [b for b in buckets if b % mesh.size]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the {mesh.size}-device mesh"
+                )
+            axis = mesh.axis_names[0]
+            self._shard = NamedSharding(mesh, P(axis))
+            replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, replicated)
+            self.fc_params = {
+                k: jax.device_put(v, replicated) for k, v in self.fc_params.items()
+            }
+            self.noise = [jax.device_put(n, replicated) for n in self.noise]
 
     # -- plumbing -------------------------------------------------------------
 
@@ -194,11 +222,17 @@ class ServingController(Controller):
 
         heads = tuple(sorted((g, h) for g, (h, _) in routed.items()))
         fn = self._serve_fn(heads, input_is_latent, static_noise)
+        latent_in = pad(latent)
+        controls_in = {g: pad(jnp.asarray(v)) for g, (_, v) in routed.items()}
+        if self._shard is not None:
+            latent_in = jax.device_put(latent_in, self._shard)
+            controls_in = {g: jax.device_put(v, self._shard)
+                           for g, v in controls_in.items()}
         img, w_out = fn(
             self.params,
             {h: self.fc_params[h] for _, h in heads},
-            pad(latent),
-            {g: pad(jnp.asarray(v)) for g, (_, v) in routed.items()},
+            latent_in,
+            controls_in,
             self.noise,
             k_noise,
         )

@@ -163,6 +163,31 @@ def test_warmup_precompiles_ladder(controller_root):
     assert np.isfinite(img).all()
 
 
+def test_meshed_serving_parity(controller_root, serving):
+    """mesh=8-device: the request batch-shards over the mesh and returns
+    the same images as the single-device serving path; non-divisible
+    buckets are rejected at init."""
+    from jax.sharding import Mesh
+
+    from gan_control_tpu.inference.serving import ServingController
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    with pytest.raises(ValueError, match="not divisible"):
+        ServingController(controller_root, buckets=(4, 8), mesh=mesh)
+
+    meshed = ServingController(controller_root, buckets=(8, 16), mesh=mesh)
+    n = 5  # pads to bucket 8 -> 1 row per device
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(11), (n, STYLE)))
+    controls = _orientation(n, seed=4)
+    img_m, _, w_m = meshed.generate(latent=z, rng=jax.random.PRNGKey(6),
+                                    orientation=controls)
+    img_s, _, w_s = serving.generate(latent=z, rng=jax.random.PRNGKey(6),
+                                     orientation=controls)
+    assert img_m.shape == (n, SIZE, SIZE, 3)
+    np.testing.assert_allclose(img_m, img_s, atol=2e-5)
+    np.testing.assert_allclose(w_m, w_s, atol=2e-5)
+
+
 def test_random_noise_path(serving):
     """static_noise=False draws fresh injection noise inside the fused
     executable (rng-keyed, still one dispatch)."""
