@@ -103,6 +103,32 @@ def test_inference_example_script(controller_root, tmp_path):
     assert "step 4 (extract controls) skipped" in proc.stdout
 
 
+def test_projection_example_script(controller_root, tmp_path):
+    """The GAN-inversion walkthrough end-to-end on the tiny model: invert a
+    model-generated sample, loss decreases, artifacts land."""
+    out = tmp_path / "proj_out"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "projection_example.py"),
+         "--model_dir", str(controller_root / "generator"),
+         "--out", str(out), "--steps", "60"],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-3000:])
+    names = {p.name for p in out.iterdir()}
+    assert {"target_vs_projection.jpg", "projected_w_plus.npy",
+            "history.json"} <= names
+    history = json.loads((out / "history.json").read_text())
+    assert history[-1]["loss"] < history[0]["loss"], history
+    import numpy as np
+
+    w = np.load(out / "projected_w_plus.npy")
+    assert w.shape[0] == 1 and w.shape[-1] == STYLE and np.isfinite(w).all()
+
+
 def test_inference_notebook_cells(controller_root, tmp_path, monkeypatch):
     """Run every code cell of the tutorial notebook in order, headless."""
     nb = json.loads(
