@@ -59,7 +59,19 @@ def main():
         for b in batches:
             yield (b + 1.0) * 0.5
 
-    feats = fid_lib.extract_features(feature_fn, to01(loader), args.n_samples, args.batch)
+    # shard the sweep over the device mesh when the batch divides evenly —
+    # the jitted feature program partitions over the data axis
+    sharding = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch % n_dev == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+        print(f"sharding the stats sweep over {n_dev} devices")
+
+    feats = fid_lib.extract_features(feature_fn, to01(loader), args.n_samples,
+                                     args.batch, sharding=sharding)
     mean, cov = fid_lib.compute_stats(feats)
     fid_lib.save_stats(args.save_path, mean, cov)
     print(f"saved stats ({feats.shape[0]} samples) -> {args.save_path}")

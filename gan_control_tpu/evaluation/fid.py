@@ -127,13 +127,21 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
 
 
 def extract_features(
-    feature_fn, image_batches: Iterator[np.ndarray], n_samples: int, batch_size: int
+    feature_fn, image_batches: Iterator[np.ndarray], n_samples: int,
+    batch_size: int, sharding=None,
 ) -> np.ndarray:
-    """Collect >= n_samples features from [0,1] NHWC batches."""
+    """Collect >= n_samples features from [0,1] NHWC batches.
+
+    ``sharding``: optional batch NamedSharding — each host batch is
+    committed sharded so the jitted feature program partitions over the
+    device mesh (real-dataset stats sweeps, calc_inception.py)."""
     feats = []
     total = 0
     for batch in image_batches:
-        feats.append(np.asarray(feature_fn(jnp.asarray(batch))))
+        batch = jnp.asarray(batch)
+        if sharding is not None:
+            batch = jax.device_put(batch, sharding)
+        feats.append(np.asarray(feature_fn(batch)))
         total += batch.shape[0]
         if total >= n_samples:
             break

@@ -44,6 +44,52 @@ def test_fid_pipeline_self_consistency(tmp_path):
     assert fid_diff > fid_same, (fid_same, fid_diff)
 
 
+def test_extract_features_sharded_parity():
+    """extract_features with a batch sharding returns the same features as
+    the unsharded path (partitioned layout, same math)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    params = init_params(jax.random.PRNGKey(1))
+    feature_fn = fid_lib.make_feature_fn(params)
+    rng = np.random.default_rng(3)
+    batches = [rng.random((8, 32, 32, 3)).astype(np.float32) for _ in range(2)]
+
+    plain = fid_lib.extract_features(feature_fn, iter(batches), 16, 8)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sharded = fid_lib.extract_features(
+        feature_fn, iter(batches), 16, 8,
+        sharding=NamedSharding(mesh, P("data")),
+    )
+    np.testing.assert_allclose(sharded, plain, atol=2e-4)
+
+
+def test_calc_inception_cli(tmp_path, monkeypatch):
+    """The stats CLI end-to-end on a tiny image folder (random inception
+    weights): the saved pickle has the evaluate_fid stats contract."""
+    import sys
+
+    from PIL import Image
+
+    import calc_inception as cli
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        arr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:03d}.png")
+
+    out = tmp_path / "stats.pkl"
+    monkeypatch.setattr(sys, "argv", [
+        "calc_inception.py", "--path", str(img_dir), "--size", "32",
+        "--batch", "8", "--n_samples", "8", "--save_path", str(out),
+    ])
+    cli.main()
+    mu, cov = fid_lib.load_stats(out)
+    assert mu.shape == (2048,) and cov.shape == (2048, 2048)
+    assert np.isfinite(mu).all() and np.isfinite(cov).all()
+
+
 @pytest.mark.slow
 def test_sharded_gen_feature_parity():
     """The fused sharded FID chunk program: identical features on an
