@@ -43,8 +43,9 @@ def tiny_model_config():
             "batch": 8,
             "mini_batch": 8,
             "sub_groups_dict": {
-                "orientation": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 32]},
-                "other": {"place_in_mini_batch": [4, 8], "place_in_latent": [32, 64]},
+                "orientation": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 24]},
+                "expression": {"place_in_mini_batch": [4, 6], "place_in_latent": [24, 48]},
+                "other": {"place_in_mini_batch": [6, 8], "place_in_latent": [48, 64]},
             },
         },
     }
@@ -68,15 +69,24 @@ def controller_root(tmp_path_factory):
     )
     ckpt_lib.save_checkpoint(gen_dir / "checkpoint", {"g_ema": params}, 1)
 
-    cdir = root / "orientation_serve"
-    cdir.mkdir()
-    write_json(
-        {"model_config": {"n_mlp": 2, "mid_dim": 32, "in_dim": 3, "lr_mlp": 0.01}},
-        cdir / "args.json",
-    )
-    fc = FcStack(n_mlp=2, mid_dim=32, out_dim=32, lr_mlp=0.01)
-    fc_params = fc.init(jax.random.PRNGKey(2), jnp.zeros((1, 3)))
-    ckpt_lib.save_checkpoint(cdir / "checkpoint", {"controller": fc_params}, 1)
+    def make_head(name: str, in_dim: int, out_dim: int, seed: int):
+        cdir = root / f"{name}_serve"
+        cdir.mkdir()
+        write_json(
+            {"model_config": {"n_mlp": 2, "mid_dim": 32, "in_dim": in_dim,
+                              "lr_mlp": 0.01}},
+            cdir / "args.json",
+        )
+        fc = FcStack(n_mlp=2, mid_dim=32, out_dim=out_dim, lr_mlp=0.01)
+        fc_params = fc.init(jax.random.PRNGKey(seed), jnp.zeros((1, in_dim)))
+        ckpt_lib.save_checkpoint(cdir / "checkpoint", {"controller": fc_params}, 1)
+
+    make_head("orientation", 3, 24, seed=2)
+    # both expression heads map onto the 'expression' group slice: the 64-d
+    # 3DMM head and the 8-class expression_q alternative (routing + warmup
+    # dual-set coverage)
+    make_head("expression", 64, 24, seed=3)
+    make_head("expression_q", 8, 24, seed=4)
     return root
 
 
@@ -113,7 +123,7 @@ def test_parity_with_gen_batch_by_controls(controller_root, serving):
     np.testing.assert_allclose(w_out, np.asarray(w_ref), atol=2e-5)
     # the controlled slice is exactly the controller head's output
     want = np.asarray(ctrl.generate_group_w_latent("orientation", controls))
-    got = w_out[:, 0, :32] if w_out.ndim == 3 else w_out[:, :32]
+    got = w_out[:, 0, :24] if w_out.ndim == 3 else w_out[:, :24]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
@@ -147,20 +157,57 @@ def test_bucket_ladder(serving):
 
 def test_warmup_precompiles_ladder(controller_root):
     """After warmup, live requests of any size <= the ladder max hit the
-    compiled cache — zero additional traces."""
+    compiled cache — zero additional traces. With both expression heads
+    present, warmup compiles the joint primary set (64-d expression +
+    orientation) plus the expression_q variant as a second set."""
     from gan_control_tpu.inference.serving import ServingController
 
     sc = ServingController(controller_root, buckets=(2, 4))
     sc.warmup()
-    key = ((("orientation", "orientation"),), False, True)
-    assert key in sc._serve_cache
-    fn = sc._serve_cache[key]
+    key_primary = ((("expression", "expression"),
+                    ("orientation", "orientation")), False, True)
+    key_q = ((("expression", "expression_q"),), False, True)
+    assert key_primary in sc._serve_cache and key_q in sc._serve_cache
+    fn = sc._serve_cache[key_primary]
     assert fn._cache_size() == 2  # one trace per ladder rung
-    img, _, _ = sc.generate(batch_size=3, rng=jax.random.PRNGKey(5),
-                            orientation=_orientation(3))
+    assert sc._serve_cache[key_q]._cache_size() == 2
+    img, _, _ = sc.generate(
+        batch_size=3, rng=jax.random.PRNGKey(5),
+        orientation=_orientation(3),
+        expression=np.zeros((3, 64), np.float32),
+    )
     assert fn._cache_size() == 2, "warmed request recompiled"
     assert img.shape == (3, SIZE, SIZE, 3)
     assert np.isfinite(img).all()
+
+
+def test_expression_q_routing(controller_root, serving):
+    """An 8-column expression control routes to the expression_q head; a
+    64-column one to the 3DMM head — both writing the 'expression' group
+    slice, matching gen_batch_by_controls."""
+    from gan_control_tpu.inference.controller import Controller
+
+    ctrl = Controller(controller_root)
+    n = 2
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(21), (n, STYLE)))
+
+    e8 = np.eye(8, dtype=np.float32)[:n]
+    img_s, _, w_s = serving.generate(latent=z, rng=jax.random.PRNGKey(8),
+                                     expression=e8)
+    img_r, _, w_r = ctrl.gen_batch_by_controls(batch_size=n, latent=z,
+                                               rng=jax.random.PRNGKey(8),
+                                               expression=e8)
+    np.testing.assert_allclose(img_s, np.asarray(img_r), atol=2e-5)
+    want_q = np.asarray(ctrl.generate_group_w_latent("expression_q", e8))
+    got = w_s[:, 0, 24:48] if w_s.ndim == 3 else w_s[:, 24:48]
+    np.testing.assert_allclose(got, want_q, rtol=1e-4, atol=1e-5)
+
+    e64 = np.asarray(jax.random.normal(jax.random.PRNGKey(22), (n, 64)))
+    _, _, w64 = serving.generate(latent=z, rng=jax.random.PRNGKey(9),
+                                 expression=e64)
+    want_64 = np.asarray(ctrl.generate_group_w_latent("expression", e64))
+    got64 = w64[:, 0, 24:48] if w64.ndim == 3 else w64[:, 24:48]
+    np.testing.assert_allclose(got64, want_64, rtol=1e-4, atol=1e-5)
 
 
 def test_meshed_serving_parity(controller_root, serving):
