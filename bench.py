@@ -288,15 +288,18 @@ def bench_train(on_tpu: bool) -> dict:
             return _bench_train_measure(h, on_tpu, "pipeline")
         except Exception:
             # four workspace kinds in flight didn't fit (smaller chip or a
-            # heavier memory plan): rebuild the harness — the pipelined
-            # attempt donated its state buffers — and fall back to the
-            # sync-bounded regime-split measurement
+            # heavier memory plan): fall back to the sync-bounded
+            # regime-split measurement. The rebuild must happen OUTSIDE
+            # this except block — while the exception is live its traceback
+            # pins the failed measure's frames (state, predictors, compiled
+            # graphs) on-device, and a second full model would stack on top
+            dispatch = "split"
+            h = None
+        if h is None:
             import gc
 
-            h = None
             gc.collect()
             h = build_train_harness(on_tpu)
-            dispatch = "split"
     return _bench_train_measure(h, on_tpu, dispatch)
 
 

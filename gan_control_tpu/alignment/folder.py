@@ -38,7 +38,11 @@ class FolderDetector:
                 f"no detection sidecar ({base}.npy/.t7/.pth) for {image_path}"
             )
         faces = np.asarray([np.asarray(f, np.float32).ravel() for f in faces])
-        if faces.ndim != 2 or (faces.size and faces.shape[1] < 4):
+        if faces.size == 0:
+            # a faceless image's sidecar is legitimate: zero rows ravel to
+            # shape (0,) — normalize to an empty (0, 5) detection array
+            return np.zeros((0, 5), np.float32)
+        if faces.ndim != 2 or faces.shape[1] < 4:
             raise TypeError(
                 f"sidecar for {image_path} must hold (x1,y1,x2,y2[,score]) "
                 f"rows, got shape {faces.shape}"

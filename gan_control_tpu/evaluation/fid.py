@@ -138,9 +138,13 @@ def extract_features(
     feats = []
     total = 0
     for batch in image_batches:
-        batch = jnp.asarray(batch)
         if sharding is not None:
-            batch = jax.device_put(batch, sharding)
+            # device_put straight from the host buffer: one direct sharded
+            # H2D transfer (asarray-then-put would commit the full batch to
+            # device 0 first and then reshard it across the mesh)
+            batch = jax.device_put(np.asarray(batch), sharding)
+        else:
+            batch = jnp.asarray(batch)
         feats.append(np.asarray(feature_fn(batch)))
         total += batch.shape[0]
         if total >= n_samples:

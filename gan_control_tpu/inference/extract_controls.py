@@ -42,9 +42,10 @@ class ControlExtractor:
                  rng: jax.Array | None = None, align_3d: bool = False):
         """training_config: the phase-1 loss blocks (for model_path etc.);
         align_fn: optional 3D-alignment preprocessing applied before the
-        R-Net / ArcFace path; align_3d: inputs to the R-Net are already
-        aligned crops, so its config center_crop is disabled (reference
-        make_attributes_df align_3d=False keeps the crop, :43-47)."""
+        R-Net / ArcFace path; align_3d: inputs to the R-Net AND the ArcFace
+        id embedding are already aligned crops, so both configs' center_crop
+        is disabled (reference make_attributes_df.py:34-36 clears it for
+        recon_3d AND id_embedding; align_3d=False keeps the crops, :43-47)."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
         self.align_fn = align_fn
         self.mods: dict[str, tuple[Any, Any, Any]] = {}
@@ -59,7 +60,7 @@ class ControlExtractor:
             if not isinstance(block, dict) or not block.get("enabled"):
                 continue
             pm = _load_predictor(PREDICTOR_MODULES[loss])
-            if loss == "recon_3d_loss" and align_3d:
+            if loss in ("recon_3d_loss", "embedding_loss") and align_3d:
                 block = dict(block, center_crop=None)
             model = pm.make_model(block)
             rng, k = jax.random.split(rng)

@@ -205,12 +205,15 @@ def _separable_taps(kernel) -> tuple[np.ndarray, np.ndarray] | None:
 
 def _blur_separable(x, row_taps, col_taps, pad):
     """Separable FIR as shifted-slice multiply-adds (one VPU fusion per
-    axis). Replaces the depthwise ``lax.conv`` for the no-resample blur:
-    XLA densifies a ``feature_group_count=C`` conv into a CxC dense conv —
-    measured 33 ms (4% of HBM roofline) for the D pyramid's 512x512x64
-    bf16 blur on v5e vs ~0.3 ms for this form (tools/blur_roofline_bench
-    .py). The taps are flipped here, so this computes the same TRUE
-    convolution as :func:`upfirdn2d`."""
+    axis). Alternate to the depthwise ``lax.conv`` for the no-resample
+    blur, available behind GANCTL_PALLAS=1: an early cross-process
+    measurement suggested the densified conv was ~100x off roofline, but
+    the controlled SAME-process A/B (tools/blur_roofline_bench.py; the
+    tunneled chip varies 2-4x across processes) showed the conv
+    best-or-tied at every bf16 D-pyramid shape (18.0 ms pyramid total vs
+    23.8 for this form), so the conv stays the default. The taps are
+    flipped here, so this computes the same TRUE convolution as
+    :func:`upfirdn2d`."""
     pad0, pad1 = pad
     xp = jnp.pad(x, ((0, 0), (pad0, pad1), (pad0, pad1), (0, 0)))
     rt = np.asarray(row_taps, np.float64)[::-1]
@@ -236,10 +239,11 @@ def blur(
 ) -> jax.Array:
     """FIR blur with explicit padding (reference: Blur, models/gan_model.py:113-129).
 
-    Separable kernels with non-negative pads take the shifted-slice MAC
-    path (see :func:`_blur_separable` — the depthwise conv gets densified
-    by XLA and runs ~100x off the bandwidth roofline on TPU); everything
-    else falls back to the one-conv :func:`upfirdn2d` form."""
+    Default path is the one-conv :func:`upfirdn2d` form — the measured
+    winner on v5e (see the dispatch comment below). Under GANCTL_PALLAS=1,
+    separable kernels with non-negative pads take the shifted-slice MAC
+    path or the Mosaic kernel instead (:func:`_blur_separable`,
+    ops/pallas_kernels.py) for re-tuning on other hardware."""
     if upsample_factor > 1:
         kernel = kernel * (upsample_factor**2)
     # Default = the one-conv lax path. Three implementations were A/B'd on

@@ -86,6 +86,11 @@ def test_folder_detector(tmp_path):
     (out,) = det.detect([None], [img])
     np.testing.assert_allclose(out, boxes)
 
+    # a faceless image's sidecar (zero rows) is legitimate: empty (0,5) out
+    np.save(tmp_path / "face_001.npy", np.zeros((0, 5), np.float32))
+    empty = det.detect_from_path(img)
+    assert empty.shape == (0, 5)
+
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         det.detect_from_path(tmp_path / "missing.png")

@@ -143,8 +143,8 @@ def test_blur_separable_path_matches_conv_form():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-5, atol=1e-6)
 
-    # the blur() dispatch takes the sepMAC path for bf16 only (measured
-    # f32 regression on v5e — see blur() docstring); bf16 parity at bf16
+    # blur() defaults to the one-conv path at every dtype (the measured
+    # winner on v5e — see blur() docstring); bf16 parity at bf16
     # tolerances
     xb = x.astype(jnp.bfloat16)
     got_b = blur(xb, k.astype(jnp.bfloat16), pad=(2, 2))
