@@ -31,6 +31,14 @@ so this anchor is an estimate — the absolute imgs/sec is the datum.
 The flagship model is the FFHQ-512 disentangled generator (split_fc mapping,
 7 latent groups). Activations run in bfloat16 (TPU MXU native); parameters
 stay float32.
+
+Noise-PRNG cost (measured same-process on v5e, batch 128 @512² bf16):
+fresh per-call threefry noise 180.9 ms/batch (707.6 imgs/s), rbg keys
+178.1 ms (718.8), device-resident static noise 177.0 ms (723.3). The
+per-layer normal draws cost ~2% end to end, so the bench keeps the
+reference-parity fresh-noise path (threefry); the serving API already
+defaults to static_noise=True (inference/serving.py) which captures the
+full 2% for production loops.
 """
 
 from __future__ import annotations
