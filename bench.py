@@ -39,6 +39,10 @@ per-layer normal draws cost ~2% end to end, so the bench keeps the
 reference-parity fresh-noise path (threefry); the serving API already
 defaults to static_noise=True (inference/serving.py) which captures the
 full 2% for production loops.
+
+Batch-size sweep (same process, same dispatch): 64 -> 568.6 imgs/s,
+128 -> 709.0, 192 -> 645.5, 256 -> 715.1, 384 -> compile OOM. Flat past
+128 = MXU compute-bound; BENCH_BATCH=128 stays the default.
 """
 
 from __future__ import annotations
