@@ -339,3 +339,79 @@ def test_reg_steps_with_remat_variants_match(setup):
     np.testing.assert_allclose(
         float(m_a["d_r1_loss"]), float(m_b["d_r1_loss"]), rtol=1e-5
     )
+
+
+def test_sharded_step_collectives_are_gradient_sized(setup):
+    """SPMD efficiency contract of the batch-sharded step: the compiled HLO
+    communicates ONLY parameter gradients (all-reduce) and the small
+    cross-batch contrastive embedding gathers needed for the BxB pairwise
+    distance matrix — never image-sized activations. Catches accidental
+    activation resharding (the TPU analogue of DataParallel scatter/gather
+    overhead the reference pays, gan_model.py DataParallel wrapping)."""
+    import re
+
+    from gan_control_tpu.latent.groups import arrangement_from_spec
+
+    spec, gen, disc, steps, state = setup
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    bs = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    z = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (BATCH, STYLE)), bs
+    )
+    real = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(2), (BATCH, SIZE, SIZE, 3)), bs
+    )
+    state_sh = jax.device_put(state, repl)
+
+    def collectives(hlo_text):
+        """{op_kind: max tensor elements seen on such a line}."""
+        out = {}
+        for line in hlo_text.splitlines():
+            m = re.search(
+                r"\b(all-reduce|all-gather|all-to-all|collective-permute"
+                r"|reduce-scatter)\b",
+                line,
+            )
+            if not m:
+                continue
+            sizes = [
+                int(np.prod([int(d) for d in dims.split(",") if d]))
+                for dims in re.findall(r"(?:f32|bf16|f16|s32|u32)\[([\d,]*)\]", line)
+            ]
+            kind = m.group(1)
+            out[kind] = max(out.get(kind, 0), max(sizes, default=0))
+        return out
+
+    c_d = jax.jit(steps["d_step"]).lower(state_sh, real, (z,)).compile()
+    colls_d = collectives(c_d.as_text())
+    arr = arrangement_from_spec(spec)
+    c_g = (
+        jax.jit(steps["g_step"])
+        .lower(state_sh, (z,), {"embedding_loss": None}, None, arr)
+        .compile()
+    )
+    colls_g = collectives(c_g.as_text())
+
+    # gradient sync must actually happen
+    assert colls_d.get("all-reduce", 0) > 0, colls_d
+    assert colls_g.get("all-reduce", 0) > 0, colls_g
+    # no resharding collectives at all in d_step, none anywhere for a2a/perm
+    for bad in ("all-gather", "all-to-all", "collective-permute"):
+        assert bad not in colls_d, colls_d
+    for bad in ("all-to-all", "collective-permute"):
+        assert bad not in colls_g, colls_g
+    # all-gathers stay embedding-sized: the smallest image activation here
+    # is [8,16,16,32] = 65536 elements, the largest legitimate gather (the
+    # cross-batch contrastive embeddings) is 8192 — a 16384 ceiling
+    # separates the regimes
+    assert colls_g.get("all-gather", 0) <= 16384, colls_g
+    # all-reduces are gradient traffic; XLA's combiner may merge several
+    # grads into one flat buffer, so the bound is the total parameter count
+    n_params = sum(
+        int(np.prod(p.shape))
+        for tree in (state.g_params, state.d_params)
+        for p in jax.tree_util.tree_leaves(tree)
+    )
+    for colls in (colls_d, colls_g):
+        assert colls.get("all-reduce", 0) <= n_params, (colls, n_params)
