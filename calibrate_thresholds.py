@@ -105,7 +105,9 @@ def main(argv=None):
                     choices=("default", "tensorfloat32", "highest"),
                     help="predictor conv/matmul precision for this run "
                     "(A/B the bf16-vs-f32 distance-scale drift; default: "
-                    "GANCTL_PREDICTOR_PRECISION or 'highest')")
+                    "GANCTL_PREDICTOR_PRECISION, else the training "
+                    "battery's 'default' single-pass-bf16 mode so "
+                    "thresholds match training-time distances)")
     args = ap.parse_args(argv)
     if args.precision is not None:
         import os

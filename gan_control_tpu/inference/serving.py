@@ -17,11 +17,16 @@ tunnel/PCIe round-trip and every new batch size is a recompile.
   traffic arrives;
 - request batches are padded to a fixed bucket ladder so arbitrary request
   sizes reuse the compiled ladder (static shapes, no recompiles). Rows are
-  independent in G (no cross-batch ops anywhere in synthesis), so padding
-  cannot change the first ``n`` results — asserted by tests/test_serving.py.
+  independent in G (no cross-batch ops anywhere in synthesis), and the
+  random-noise path draws from per-row fold_in keys, so padding cannot
+  change the first ``n`` results in either noise mode — asserted by
+  tests/test_serving.py.
 
-The returned images/latents match ``gen_batch_by_controls`` numerically
-(same ops, same rng split discipline); parity is tested.
+With ``static_noise=True`` (the default) the returned images/latents match
+``gen_batch_by_controls`` numerically (same ops, same noise planes);
+parity is tested. With ``static_noise=False`` the draws match only in
+distribution — the per-row key discipline above trades exact same-rng
+parity for bucket invariance.
 
 Measured on a real v5e over the axon tunnel (tools/serving_bench.py,
 512px flagship generator + 4 controlled groups, p50 of 10 requests,
@@ -149,13 +154,29 @@ class ServingController(Controller):
                     spec, w, group_w,
                     "expression" if head == "expression_q" else group,
                 )
-            noise = None
             if static_noise:
                 # broadcast the fixed [1,H,W,1] noise planes on device —
                 # the host-side expend_noise copy is pure dispatch overhead
                 noise = [
                     jnp.broadcast_to(n, (w.shape[0],) + n.shape[1:])
                     for n in noise1
+                ]
+            else:
+                # fresh noise, drawn from PER-ROW keys (fold_in by row
+                # index, then by layer) instead of one bucket-shaped draw:
+                # row i's noise depends only on (rng, i, layer), so bucket
+                # padding cannot change the first n results — the same
+                # invariance the static path gets for free
+                row_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    rng, jnp.arange(w.shape[0])
+                )
+                noise = [
+                    jax.vmap(
+                        lambda k, _l=li, _s=tuple(n.shape[1:]): jax.random.normal(
+                            jax.random.fold_in(k, _l), _s
+                        )
+                    )(row_keys)
+                    for li, n in enumerate(noise1)
                 ]
             img, w_out = model.apply(
                 params, [w], return_latents=True, input_is_latent=True,

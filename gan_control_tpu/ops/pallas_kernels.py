@@ -386,10 +386,11 @@ def pallas_enabled() -> bool:
     return os.environ.get("GANCTL_PALLAS", "0") == "1"
 
 
-# per-program VMEM footprint limit for the fused blur kernels: the input
-# block plus phase outputs must fit scoped VMEM (~16MB on v5e) with the
-# pipeline's double buffering; beyond this the dispatch falls back to the
-# lax conv path (which XLA tiles arbitrarily).
+# per-program VMEM footprint limit for the fused blur kernels: the
+# double-buffered (2x) input + output blocks must fit scoped VMEM (~16MB
+# on v5e); beyond this the dispatch falls back to the lax conv path
+# (which XLA tiles arbitrarily). 12MB of the 16 leaves headroom for the
+# kernels' accumulator temporaries.
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
@@ -401,10 +402,13 @@ def blur_fits_vmem(h: int, w: int, c: int, itemsize: int = 4,
     [h, w, c] phase plane. down (grid=(n,)): four deinterleaved phase blocks
     (~= one padded input block in total) plus an [h/2, w/2, c] output —
     ~4x less output than up's whole-phase estimate, so downsample stays on
-    the pallas path at sizes where up must fall back."""
+    the pallas path at sizes where up must fall back. Both estimates are
+    charged 2x: with a multi-program grid the Mosaic pipeline prefetches
+    block i+1's inputs (and holds block i-1's output DMA) while computing
+    block i, so the live footprint is two buffer generations."""
     x_block = (h + 2) * (w + 2) * c * itemsize
     if direction == "down":
         out_block = (h // 2) * (w // 2) * c * itemsize
     else:
         out_block = h * w * c * itemsize
-    return x_block + out_block <= _VMEM_BUDGET_BYTES
+    return 2 * (x_block + out_block) <= _VMEM_BUDGET_BYTES

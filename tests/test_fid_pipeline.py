@@ -117,6 +117,14 @@ def test_sharded_gen_feature_parity():
     assert run8.batch == 8  # 6 rounded up to the mesh multiple
     assert run1.batch == 8
 
+    # a caller-supplied mesh keeps ITS axis name (the `axis` parameter is
+    # only the default for the self-built mesh)
+    run_named = fid_lib.make_sharded_gen_feature_fn(
+        gen, 8, 64, mesh=Mesh(devs, ("batch",))
+    )
+    f_named = run_named(g_params, f_params, jax.random.PRNGKey(7))
+    assert f_named.shape == (8, 2048)
+
     rng = jax.random.PRNGKey(7)
     f8 = run8(g_params, f_params, rng)
     f1 = run1(jax.device_put(g_params, NamedSharding(mesh1, P())),

@@ -64,11 +64,14 @@ def test_vmem_guard_dispatch(monkeypatch):
     assert _pallas_blur_wanted(k, 2, small)
     assert not _pallas_blur_wanted(k, 2, large)
     # down's per-program footprint is ~4x smaller (one padded input block
-    # + an h/2*w/2*c output vs up's whole phase plane): 64x64x512 — the D
-    # pyramid's deepest blur at 512^2 — fits down but not up
-    assert blur_fits_vmem(64, 64, 512, direction="down")
-    assert not blur_fits_vmem(64, 64, 512, direction="up")
-    mid = jnp.zeros((1, 64, 64, 512), jnp.float32)
+    # + an h/2*w/2*c output vs up's whole phase plane), so there is a band
+    # that fits down but not up; 64x64x512 f32 (the D pyramid's deepest
+    # blur at 512^2) exceeds the double-buffered budget in BOTH directions
+    # (never compiled on a real chip — the guard stays conservative there)
+    assert blur_fits_vmem(64, 64, 256, direction="down")
+    assert not blur_fits_vmem(64, 64, 256, direction="up")
+    assert not blur_fits_vmem(64, 64, 512, direction="down")
+    mid = jnp.zeros((1, 64, 64, 256), jnp.float32)
     assert _pallas_blur_wanted(k, 2, mid, "down")
     assert not _pallas_blur_wanted(k, 2, mid, "up")
     # the large case still computes correctly through the lax path

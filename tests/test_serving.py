@@ -247,3 +247,21 @@ def test_random_noise_path(serving):
     assert img1.shape == (2, SIZE, SIZE, 3)
     assert np.isfinite(img1).all() and np.isfinite(img2).all()
     assert not np.allclose(img1, img2)
+
+
+def test_random_noise_bucket_invariance(controller_root):
+    """static_noise=False keeps the padding-invariance contract: the same
+    request (same rng, same latent) through ladders that pad it to bucket
+    4 vs bucket 8 yields identical first-n images (per-row fold_in noise
+    keys — a bucket-shaped draw would differ row by row)."""
+    from gan_control_tpu.inference.serving import ServingController
+
+    a = ServingController(controller_root, buckets=(4,))
+    b = ServingController(controller_root, buckets=(8,))
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (3, STYLE)))
+    kwargs = dict(latent=z, rng=jax.random.PRNGKey(7), static_noise=False,
+                  orientation=_orientation(3))
+    img_a, _, w_a = a.generate(**kwargs)
+    img_b, _, w_b = b.generate(**kwargs)
+    np.testing.assert_allclose(img_a, img_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(w_a, w_b, rtol=1e-5, atol=1e-6)
