@@ -135,13 +135,11 @@ class ServingController(Controller):
                 )
         return routed
 
-    def _serve_fn(self, heads: tuple[tuple[str, str], ...],
-                  input_is_latent: bool, static_noise: bool):
-        key = (heads, input_is_latent, static_noise)
-        fn = self._serve_cache.get(key)
-        if fn is not None:
-            return fn
-
+    def _build_run(self, heads: tuple[tuple[str, str], ...],
+                   input_is_latent: bool, static_noise: bool):
+        """The raw (unjitted) fused request function — jitted by
+        ``_serve_fn`` for live serving, closed over params and exported
+        by ``export_artifacts`` for model-code-free serving."""
         model, spec = self.model, self.spec
         fc = {head: self.fc_controls[head] for _, head in heads}
 
@@ -184,8 +182,15 @@ class ServingController(Controller):
             )
             return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0), w_out
 
-        fn = jax.jit(run)
-        self._serve_cache[key] = fn
+        return run
+
+    def _serve_fn(self, heads: tuple[tuple[str, str], ...],
+                  input_is_latent: bool, static_noise: bool):
+        key = (heads, input_is_latent, static_noise)
+        fn = self._serve_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self._build_run(heads, input_is_latent, static_noise))
+            self._serve_cache[key] = fn
         return fn
 
     # -- the serving entry point ----------------------------------------------
@@ -259,6 +264,90 @@ class ServingController(Controller):
         )
         return np.asarray(img[:n]), np.asarray(latent), np.asarray(w_out[:n])
 
+    def _default_group_sets(self) -> list[dict[str, int]]:
+        """Group sets worth precompiling/exporting, as {group: control dim}
+        maps: every controllable head jointly; when both the 64-d
+        'expression' and the 8-class 'expression_q' heads exist, the
+        expression_q variant is a second set (both route through the
+        'expression' control key, disambiguated by column count)."""
+        sets: list[dict[str, int]] = []
+        primary: dict[str, int] = {}
+        for head in sorted(self.fc_controls):
+            group = "expression" if head == "expression_q" else head
+            if head == "expression_q" and "expression" in self.fc_controls:
+                continue  # collides with the 64-d head: second set below
+            primary[group] = 8 if head == "expression_q" else self.control_dim(head)
+        if primary:
+            sets.append(primary)
+        if "expression_q" in self.fc_controls and "expression" in self.fc_controls:
+            sets.append({"expression": 8})
+        return sets
+
+    def export_artifacts(self, out_dir, groups: list[str] | None = None,
+                         buckets: tuple[int, ...] | None = None,
+                         static_noise: bool = True,
+                         platforms: tuple[str, ...] | None = None) -> dict:
+        """Bake the fused request executables into portable serving
+        artifacts (``jax.export`` StableHLO, weights embedded as
+        constants): one ``.bin`` per (group-set, bucket) plus a
+        ``manifest.json``. ``load_exported_serving(out_dir)`` then serves
+        controlled generation with NO model code — no flax modules, no
+        checkpoint loading, no config parsing — which is the TPU-native
+        answer to shipping a trained controller to a fleet.
+
+        ``platforms``: lowering targets (e.g. ``("tpu",)``); default = the
+        current backend. Returns the manifest dict.
+        """
+        import json
+        from pathlib import Path
+
+        from jax import export as jax_export
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        style_dim = self.config["model_config"].get("latent_size", 512)
+        buckets = self.buckets if buckets is None else tuple(sorted(buckets))
+        group_sets = ([{g: self.control_dim(g) for g in groups}]
+                      if groups is not None else self._default_group_sets())
+
+        entries = []
+        for dims in group_sets:
+            routed = self._route(
+                {g: np.zeros((1, d), np.float32) for g, d in dims.items()}
+            )
+            heads = tuple(sorted((g, h) for g, (h, _) in routed.items()))
+            run = self._build_run(heads, input_is_latent=False,
+                                  static_noise=static_noise)
+            fc_params = {h: self.fc_params[h] for _, h in heads}
+
+            def fn(latent, controls, rng, _run=run, _fc=fc_params):
+                return _run(self.params, _fc, latent, controls, self.noise, rng)
+
+            for b in buckets:
+                exp = jax_export.export(
+                    jax.jit(fn),
+                    platforms=list(platforms) if platforms else None,
+                )(
+                    jax.ShapeDtypeStruct((b, style_dim), jnp.float32),
+                    {g: jax.ShapeDtypeStruct((b, d), jnp.float32)
+                     for g, d in dims.items()},
+                    jax.ShapeDtypeStruct((2,), jnp.uint32),
+                )
+                # dim in the name disambiguates e.g. the 64-d 'expression'
+                # head from the 8-class expression_q set
+                name = ("serve_"
+                        + "-".join(f"{g}{d}" for g, d in sorted(dims.items()))
+                        + f"_b{b}.bin")
+                (out / name).write_bytes(exp.serialize())
+                entries.append({"file": name, "bucket": b, "dims": dims,
+                                "platforms": list(exp.platforms)})
+                _log.info("exported %s (%s)", name, ", ".join(exp.platforms))
+
+        manifest = {"style_dim": style_dim, "static_noise": static_noise,
+                    "artifacts": entries}
+        (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
+        return manifest
+
     def warmup(self, buckets: tuple[int, ...] | None = None,
                groups: list[str] | None = None):
         """Precompile the serve executables ahead of traffic: one jitted
@@ -267,29 +356,103 @@ class ServingController(Controller):
         'expression' and the 8-class 'expression_q' heads exist, the
         expression_q variant is warmed as a second set)."""
         buckets = self.buckets if buckets is None else tuple(buckets)
-        sets: list[dict[str, np.ndarray]] = []
-        if groups is not None:
-            sets.append({g: np.zeros((1, self.control_dim(g)), np.float32)
-                         for g in groups})
-        else:
-            primary = {}
-            for head in sorted(self.fc_controls):
-                group = "expression" if head == "expression_q" else head
-                if head == "expression_q" and "expression" in self.fc_controls:
-                    # collides with the 64-d head on the 'expression' key:
-                    # warmed separately below
-                    continue
-                dim = 8 if head == "expression_q" else self.control_dim(head)
-                primary[group] = np.zeros((1, dim), np.float32)
-            if primary:
-                sets.append(primary)
-            if "expression_q" in self.fc_controls and "expression" in self.fc_controls:
-                sets.append({"expression": np.zeros((1, 8), np.float32)})
+        group_sets = ([{g: self.control_dim(g) for g in groups}]
+                      if groups is not None else self._default_group_sets())
         for b in buckets:
-            for cset in sets:
+            for dims in group_sets:
                 _log.info("serving warmup: bucket %d, groups %s",
-                          b, sorted(cset))
+                          b, sorted(dims))
                 self.generate(
                     batch_size=b, rng=jax.random.PRNGKey(0),
-                    **{g: np.repeat(v, b, axis=0) for g, v in cset.items()},
+                    **{g: np.zeros((b, d), np.float32)
+                       for g, d in dims.items()},
                 )
+
+
+def load_exported_serving(out_dir) -> "ExportedServing":
+    """Open a directory written by ``ServingController.export_artifacts``."""
+    return ExportedServing(out_dir)
+
+
+class ExportedServing:
+    """Model-code-free serving from ``export_artifacts`` output.
+
+    Deserializes the baked StableHLO request executables (weights are
+    embedded constants) and reproduces ``ServingController.generate``'s
+    bucket/pad/slice discipline — same rng split, numerically identical
+    results on the same platform. Needs jax only; no flax modules, no
+    checkpoints, no configs."""
+
+    def __init__(self, out_dir):
+        import json
+        from pathlib import Path
+
+        self._dir = Path(out_dir)
+        m = json.loads((self._dir / "manifest.json").read_text())
+        self.style_dim = int(m["style_dim"])
+        self.static_noise = bool(m["static_noise"])
+        self.artifacts = m["artifacts"]
+        self._cache: dict[str, Any] = {}
+
+    def _fn(self, entry):
+        fn = self._cache.get(entry["file"])
+        if fn is None:
+            from jax import export as jax_export
+
+            fn = jax_export.deserialize(
+                (self._dir / entry["file"]).read_bytes()
+            ).call
+            self._cache[entry["file"]] = fn
+        return fn
+
+    def _pick(self, dims: dict[str, int], n: int) -> dict:
+        cands = [e for e in self.artifacts
+                 if e["dims"] == dims and e["bucket"] >= n]
+        if not cands:
+            raise ValueError(
+                f"no exported artifact for groups {dims} at batch {n}; "
+                f"have {[(e['dims'], e['bucket']) for e in self.artifacts]}"
+            )
+        return min(cands, key=lambda e: e["bucket"])
+
+    def generate(self, batch_size: int | None = None,
+                 latent=None, rng=None, **controls):
+        controls = {g: np.asarray(v, np.float32) for g, v in controls.items()}
+        controls = {g: v[:, None] if v.ndim == 1 else v
+                    for g, v in controls.items()}
+        if batch_size is not None:
+            n = int(batch_size)
+        elif latent is not None:
+            n = int(np.asarray(latent).shape[0])
+        elif controls:
+            n = len(next(iter(controls.values())))
+        else:
+            raise ValueError("need batch_size, latent, or at least one control")
+        entry = self._pick({g: int(v.shape[-1]) for g, v in controls.items()}, n)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        # same split discipline as ServingController.generate
+        rng, k_z, k_noise = jax.random.split(rng, 3)
+        if latent is None:
+            latent = jax.random.normal(k_z, (n, self.style_dim))
+        latent = jnp.asarray(latent, jnp.float32)
+
+        b = entry["bucket"]
+
+        def pad(a):
+            if a.shape[0] == b:
+                return a
+            fill = np.zeros((b - a.shape[0],) + a.shape[1:], a.dtype)
+            return jnp.concatenate([jnp.asarray(a), jnp.asarray(fill)], axis=0)
+
+        key_data = jnp.asarray(
+            jax.random.key_data(k_noise)
+            if jnp.issubdtype(k_noise.dtype, jax.dtypes.prng_key)
+            else k_noise,
+            jnp.uint32,
+        )
+        img, w_out = self._fn(entry)(
+            pad(latent), {g: pad(v) for g, v in controls.items()}, key_data
+        )
+        return np.asarray(img[:n]), np.asarray(latent), np.asarray(w_out[:n])

@@ -249,6 +249,35 @@ def test_random_noise_path(serving):
     assert not np.allclose(img1, img2)
 
 
+def test_export_artifacts_roundtrip(controller_root, serving, tmp_path):
+    """export_artifacts -> load_exported_serving serves identical images
+    with NO model objects: the StableHLO artifacts embed the weights, and
+    the loader reproduces generate()'s bucket/pad/slice + rng discipline."""
+    from gan_control_tpu.inference.serving import load_exported_serving
+
+    out = tmp_path / "artifacts"
+    manifest = serving.export_artifacts(out, groups=["orientation"],
+                                        buckets=(4,))
+    assert (out / "manifest.json").exists()
+    assert all((out / e["file"]).stat().st_size > 0
+               for e in manifest["artifacts"])
+
+    exported = load_exported_serving(out)
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(11), (3, STYLE)))
+    kwargs = dict(latent=z, rng=jax.random.PRNGKey(5),
+                  orientation=_orientation(3))
+    img_live, _, w_live = serving.generate(**kwargs)
+    img_exp, _, w_exp = exported.generate(**kwargs)
+    np.testing.assert_allclose(img_exp, img_live, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(w_exp, w_live, rtol=1e-5, atol=1e-5)
+
+    # unknown group set / oversized batch fail loudly
+    with pytest.raises(ValueError):
+        exported.generate(batch_size=2, age=np.zeros((2, 1), np.float32))
+    with pytest.raises(ValueError):
+        exported.generate(batch_size=64, orientation=_orientation(64))
+
+
 def test_random_noise_bucket_invariance(controller_root):
     """static_noise=False keeps the padding-invariance contract: the same
     request (same rng, same latent) through ladders that pad it to bucket
