@@ -334,10 +334,11 @@ class ServingController(Controller):
                     jax.ShapeDtypeStruct((2,), jnp.uint32),
                 )
                 # dim in the name disambiguates e.g. the 64-d 'expression'
-                # head from the 8-class expression_q set
-                name = ("serve_"
-                        + "-".join(f"{g}{d}" for g, d in sorted(dims.items()))
-                        + f"_b{b}.bin")
+                # head from the 8-class expression_q set; groups=[] exports
+                # the uncontrolled z->image path
+                tag = ("-".join(f"{g}{d}" for g, d in sorted(dims.items()))
+                       or "uncontrolled")
+                name = f"serve_{tag}_b{b}.bin"
                 (out / name).write_bytes(exp.serialize())
                 entries.append({"file": name, "bucket": b, "dims": dims,
                                 "platforms": list(exp.platforms)})

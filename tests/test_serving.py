@@ -277,6 +277,13 @@ def test_export_artifacts_roundtrip(controller_root, serving, tmp_path):
     with pytest.raises(ValueError):
         exported.generate(batch_size=64, orientation=_orientation(64))
 
+    # groups=[] exports the uncontrolled z->image path
+    serving.export_artifacts(tmp_path / "plain", groups=[], buckets=(4,))
+    plain = load_exported_serving(tmp_path / "plain")
+    img_p, _, w_p = plain.generate(latent=z, rng=jax.random.PRNGKey(5))
+    img_l, _, w_l = serving.generate(latent=z, rng=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(img_p, img_l, rtol=1e-5, atol=1e-5)
+
 
 def test_random_noise_bucket_invariance(controller_root):
     """static_noise=False keeps the padding-invariance contract: the same
