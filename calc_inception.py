@@ -61,14 +61,9 @@ def main():
 
     # shard the sweep over the device mesh when the batch divides evenly —
     # the jitted feature program partitions over the data axis
-    sharding = None
-    n_dev = len(jax.devices())
-    if n_dev > 1 and args.batch % n_dev == 0:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from gan_control_tpu.utils.mesh import data_batch_sharding
 
-        mesh = Mesh(np.array(jax.devices()), ("data",))
-        sharding = NamedSharding(mesh, P("data"))
-        print(f"sharding the stats sweep over {n_dev} devices")
+    sharding = data_batch_sharding(args.batch, label="inception stats sweep")
 
     feats = fid_lib.extract_features(feature_fn, to01(loader), args.n_samples,
                                      args.batch, sharding=sharding)

@@ -167,6 +167,10 @@ class Inference:
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         style_dim = self.config["model_config"].get("latent_size", 512)
+        # CONTRACT: make_attributes_df.py pre-samples the batch-sharded z
+        # with this exact 3-way split (it needs k_z before calling in) so
+        # sharded and unsharded sweeps produce identical rows — keep the
+        # split order/arity in sync (pinned by the sharded-sweep parity test)
         rng, k_z, k_noise = jax.random.split(rng, 3)
         if latent is None:
             latent = jax.random.normal(k_z, (batch_size, style_dim))

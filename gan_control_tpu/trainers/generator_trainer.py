@@ -415,21 +415,35 @@ class GeneratorTrainer:
         n = 100 if self.tc.get("debug") else kc.get("num_of_samples", 2000)
         batch = self.tc["batch"]
         g_ema = self.state.g_ema
-        mod = _load_predictor(PREDICTOR_MODULES[loss_name])
 
-        # params are traced ARGUMENTS (closed-over weight trees get baked
-        # into the compile payload — slow/oversized on remote-compile links)
-        model = mod.make_model(self.tc.get(loss_name, {}))
+        # cache the jitted program per loss (same pattern as
+        # _matrix_predict_fn): a fresh closure per eval interval would
+        # retrace and recompile the fused generator+predictor graph every
+        # 30k iters — minutes each over a remote-compile link
+        if not hasattr(self, "_attr_hist_fns"):
+            self._attr_hist_fns = {}
+        gen_and_predict = self._attr_hist_fns.get(loss_name)
+        if gen_and_predict is None:
+            mod = _load_predictor(PREDICTOR_MODULES[loss_name])
 
-        from gan_control_tpu.utils.precision import predictor_precision_ctx
+            # params are traced ARGUMENTS (closed-over weight trees get
+            # baked into the compile payload — slow/oversized on
+            # remote-compile links)
+            model = mod.make_model(self.tc.get(loss_name, {}))
 
-        @jax.jit
-        def gen_and_predict(gp, pp, z):
-            img, _ = self.generator.apply(gp, [z], rngs={"noise": jax.random.PRNGKey(0)})
-            # only the predictor runs at the high-precision setting; G keeps
-            # the fast MXU default
-            with predictor_precision_ctx(self.tc.get("predictor_precision")):
-                return mod.predict(model, pp, img)
+            from gan_control_tpu.utils.precision import predictor_precision_ctx
+
+            @jax.jit
+            def gen_and_predict(gp, pp, z):
+                img, _ = self.generator.apply(
+                    gp, [z], rngs={"noise": jax.random.PRNGKey(0)}
+                )
+                # only the predictor runs at the high-precision setting; G
+                # keeps the fast MXU default
+                with predictor_precision_ctx(self.tc.get("predictor_precision")):
+                    return mod.predict(model, pp, img)
+
+            self._attr_hist_fns[loss_name] = gen_and_predict
 
         preds = []
         rng = jax.random.PRNGKey(1000 + i)

@@ -79,14 +79,10 @@ def main():
     # z is pre-sampled with gen_batch's own rng split discipline, so sharded
     # and unsharded runs produce identical rows (tested).
     sharding = None
-    n_dev = len(jax.devices())
-    if not args.no_shard and n_dev > 1 and args.batch_size % n_dev == 0:
-        import numpy as _np
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    if not args.no_shard:
+        from gan_control_tpu.utils.mesh import data_batch_sharding
 
-        mesh = Mesh(_np.array(jax.devices()), ("data",))
-        sharding = NamedSharding(mesh, P("data"))
-        print(f"sharding the sweep over {n_dev} devices")
+        sharding = data_batch_sharding(args.batch_size, label="attribute sweep")
     style_dim = model.config["model_config"].get("latent_size", 512)
 
     rows = []

@@ -94,3 +94,24 @@ def test_folder_detector(tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         det.detect_from_path(tmp_path / "missing.png")
+
+    # one flat (x1,y1,x2,y2) vector — the natural single-box save — is a
+    # single row, not a (4,1) shape error
+    flat = tmp_path / "face_002.png"
+    flat.write_bytes(b"")
+    np.save(tmp_path / "face_002.npy", np.array([10.0, 20.0, 110.0, 140.0]))
+    got = det.detect_from_path(flat)
+    np.testing.assert_allclose(got, [[10.0, 20.0, 110.0, 140.0]])
+
+    # image PATHS double as the sidecar keys (detect(images) surface)
+    (out,) = det.detect([str(flat)])
+    np.testing.assert_allclose(out, [[10.0, 20.0, 110.0, 140.0]])
+    with _pytest.raises(ValueError):
+        det.detect([np.zeros((4, 4, 3))])  # decoded images need paths=
+
+    # Lua-Torch .t7 sidecars are not torch.load-able: loud instruction
+    t7 = tmp_path / "face_003.png"
+    t7.write_bytes(b"")
+    (tmp_path / "face_003.t7").write_bytes(b"\x04")
+    with _pytest.raises(ValueError, match="Lua-Torch"):
+        det.detect_from_path(t7)

@@ -69,7 +69,12 @@ def _fan_entry():
         net = fan.FANNet()
         return np.asarray(net.apply(params, _probe_image(256, lo=0.0))[-1])
 
-    return {"name": "fan", "patterns": ["*DFAN4*.pth*", "*DFAN-4*.pth*"],
+    # 3DFAN4 first: a face_alignment cache usually holds 2DFAN4 too, and a
+    # bare *DFAN4* glob would sort 2DFAN4 ahead of the 3D checkpoint the
+    # alignment pipeline (and the sha pin) expects
+    return {"name": "fan",
+            "patterns": ["*3DFAN4*.pth*", "*3DFAN-4*.pth*",
+                         "*DFAN4*.pth*", "*DFAN-4*.pth*"],
             "convert": convert, "probe": probe}
 
 
