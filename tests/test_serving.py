@@ -285,6 +285,23 @@ def test_export_artifacts_roundtrip(controller_root, serving, tmp_path):
     np.testing.assert_allclose(img_p, img_l, rtol=1e-5, atol=1e-5)
 
 
+def test_export_cross_platform(serving, tmp_path):
+    """Artifacts can be lowered for a TPU fleet from this CPU host
+    (jax.export multi-platform lowering); a cpu+tpu artifact still runs
+    here via its cpu lowering."""
+    from gan_control_tpu.inference.serving import load_exported_serving
+
+    out = tmp_path / "xplat"
+    manifest = serving.export_artifacts(
+        out, groups=["orientation"], buckets=(4,), platforms=("cpu", "tpu")
+    )
+    assert all(e["platforms"] == ["cpu", "tpu"] for e in manifest["artifacts"])
+    exported = load_exported_serving(out)
+    img, _, _ = exported.generate(batch_size=2, rng=jax.random.PRNGKey(0),
+                                  orientation=_orientation(2))
+    assert img.shape == (2, SIZE, SIZE, 3) and np.isfinite(img).all()
+
+
 def test_random_noise_bucket_invariance(controller_root):
     """static_noise=False keeps the padding-invariance contract: the same
     request (same rng, same latent) through ladders that pad it to bucket
