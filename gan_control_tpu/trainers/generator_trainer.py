@@ -356,14 +356,16 @@ class GeneratorTrainer:
                 _log.warning("preemption signal received — checkpointing at iter %d", i)
                 if self.save_dir:
                     jax.block_until_ready(self.state)
-                    self.save_nets(i + 1)
+                    self.save_nets(i + 1, block=True)
                 break
 
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
         jax.block_until_ready(self.state)
         if self.save_dir and not self._preempted:
-            self.save_nets(total)
+            self.save_nets(total, block=True)
+        from gan_control_tpu.utils.checkpoint import wait_pending_saves
+        wait_pending_saves()
 
     # -- periodic evaluation (reference end_iter_update, :721-748) ----------
 
@@ -710,9 +712,22 @@ class GeneratorTrainer:
                 annotated, imgdir / "attribute_matrix" / f"{i:06d}.jpg", nrow=4
             )
 
-    def save_nets(self, step: int, name: str | None = None):
-        path = ckpt_lib.save_checkpoint(
+    def save_nets(self, step: int, name: str | None = None, block: bool = False):
+        """Checkpoint the train state. Periodic saves are ASYNC: the
+        device->host copy happens here (before the state is donated into
+        the next step), the multi-hundred-MB msgpack encode + atomic write
+        overlap with training on a background worker. ``block=True`` (the
+        final/preemption saves) drains the queue before returning."""
+        fut = ckpt_lib.save_checkpoint_async(
             Path(self.save_dir) / "checkpoint", self.state, step, name=name
         )
-        _log.info("saved %s", path)
-        return path
+        if block:
+            path = fut.result()
+            ckpt_lib.wait_pending_saves()
+            _log.info("saved %s", path)
+            return path
+        fut.add_done_callback(
+            lambda f: _log.info("saved %s", f.result()) if not f.exception()
+            else _log.error("checkpoint save failed: %r", f.exception())
+        )
+        return fut

@@ -42,6 +42,42 @@ def save_checkpoint(ckpt_dir: str | Path, state: Any, step: int, name: str | Non
     return path
 
 
+_SAVE_POOL = None  # lazily-built single worker: saves stay ordered
+
+
+def save_checkpoint_async(ckpt_dir: str | Path, state: Any, step: int,
+                          name: str | None = None):
+    """Like ``save_checkpoint`` but overlapped with training: the
+    device->host fetch happens HERE, on the caller's thread (it must —
+    the trainer donates its state buffers into the next step, so the copy
+    has to complete before the next dispatch), while msgpack serialization
+    and the atomic write run on a single background worker so the chip
+    keeps training through the multi-hundred-MB encode. Returns a Future
+    of the written Path; call ``wait_pending_saves()`` before process
+    exit (the trainer does on normal end and preemption)."""
+    import concurrent.futures
+
+    global _SAVE_POOL
+    if _SAVE_POOL is None:
+        _SAVE_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save"
+        )
+    host_state = jax.device_get(state)
+
+    def _write() -> Path:
+        return save_checkpoint(ckpt_dir, host_state, step, name=name)
+
+    return _SAVE_POOL.submit(_write)
+
+
+def wait_pending_saves() -> None:
+    """Drain the async save queue (no-op when nothing is pending)."""
+    global _SAVE_POOL
+    if _SAVE_POOL is not None:
+        _SAVE_POOL.shutdown(wait=True)
+        _SAVE_POOL = None
+
+
 def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
     """Lexicographically-last ``*.ckpt`` (zero-padded steps; ``best_fid``
     sorts after digits and wins when present — reference contract)."""

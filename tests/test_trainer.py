@@ -366,3 +366,22 @@ def test_remat_predictors_resolution(tmp_path):
         cfg["model_config"].update(extra)
         trainer = GeneratorTrainer(config=cfg, init_dirs=False)
         assert trainer.step_cfg.remat_predictors is want, (extra, want)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint_async: device->host copy on the caller thread (safe
+    vs buffer donation), encode+write in the background; restore matches,
+    ordering holds (single worker), and wait_pending_saves drains."""
+    import jax.numpy as jnp
+
+    state = {"w": jnp.arange(8, dtype=jnp.float32), "step": jnp.int32(3)}
+    f1 = ckpt_lib.save_checkpoint_async(tmp_path, state, 1)
+    state2 = {"w": jnp.arange(8, dtype=jnp.float32) * 2, "step": jnp.int32(4)}
+    f2 = ckpt_lib.save_checkpoint_async(tmp_path, state2, 1)  # same file
+    ckpt_lib.wait_pending_saves()
+    assert f1.result().name == f2.result().name == "000001.ckpt"
+    got = ckpt_lib.restore_checkpoint(
+        tmp_path / "000001.ckpt", {"w": jnp.zeros(8), "step": jnp.int32(0)}
+    )
+    np.testing.assert_allclose(np.asarray(got["w"]), np.arange(8) * 2)
+    assert int(got["step"]) == 4
