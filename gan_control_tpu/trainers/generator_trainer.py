@@ -553,10 +553,18 @@ class GeneratorTrainer:
         n = 100 if self.tc.get("debug") else self.separability_cfg.get("num_of_samples", 2000)
         g_ema = self.state.g_ema
 
-        @jax.jit
-        def _gen(gp, z):
-            img, _ = self.generator.apply(gp, [z], rngs={"noise": jax.random.PRNGKey(0)})
-            return img
+        # cached jitted program (params as traced args): a fresh closure per
+        # eval interval would recompile the synthesis graph every time
+        if not hasattr(self, "_separability_gen_fn"):
+            @jax.jit
+            def _gen(gp, z):
+                img, _ = self.generator.apply(
+                    gp, [z], rngs={"noise": jax.random.PRNGKey(0)}
+                )
+                return img
+
+            self._separability_gen_fn = _gen
+        _gen = self._separability_gen_fn
 
         def gen(z):
             return _gen(g_ema, z)
