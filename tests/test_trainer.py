@@ -385,3 +385,60 @@ def test_async_checkpoint_roundtrip(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(got["w"]), np.arange(8) * 2)
     assert int(got["step"]) == 4
+
+
+def test_eval_jit_programs_are_cached(tmp_path, monkeypatch):
+    """The eval-path jitted programs (attribute hist gen+predict,
+    separability synthesis) are built ONCE per loss/trainer, not re-traced
+    every eval interval — a fresh closure per call would recompile the
+    512² synthesis graph each time (minutes over a remote-compile link)."""
+    import jax.numpy as jnp
+
+    from gan_control_tpu.losses import registry
+    from gan_control_tpu.losses.contrastive import ContrastiveConfig, pairwise_sq_l2
+    from gan_control_tpu.training.train_step import AttributeLossSpec
+
+    attr = (
+        AttributeLossSpec(
+            name="orientation_loss", group="other",
+            cfg=ContrastiveConfig(
+                intermediate_weights=(), last_layer_weight=1.0,
+                lower_thres=(), upper_thres=(),
+                last_lower_thres=0.1, last_upper_thres=1.0,
+                focus_on=("same_as_last_layer",),
+            ),
+            feature_fn=lambda p, x: [jnp.mean(x, axis=(1, 2))],
+            dist_fn=pairwise_sq_l2,
+        ),
+    )
+    trainer = GeneratorTrainer(
+        config=tiny_config(tmp_path), attr_losses=attr,
+        predictor_params={"orientation_loss": {}},
+    )
+
+    traces = {"n": 0}
+
+    class StubPredictor:
+        @staticmethod
+        def make_model(cfg):
+            return None
+
+        @staticmethod
+        def predict(model, pp, img):
+            traces["n"] += 1  # runs at TRACE time only
+            return jnp.zeros((img.shape[0], 3))
+
+    monkeypatch.setitem(registry.PREDICTOR_MODULES, "orientation_loss", "stub")
+    monkeypatch.setattr(registry, "_load_predictor", lambda name: StubPredictor)
+
+    kc = {"num_of_samples": 8}
+    trainer.evaluate_attribute_hist(1, "orientation_hist", "orientation_loss", kc)
+    trainer.evaluate_attribute_hist(2, "orientation_hist", "orientation_loss", kc)
+    assert traces["n"] == 1, f"gen+predict re-traced: {traces['n']} traces"
+    assert len(trainer._attr_hist_fns) == 1
+
+    # separability synthesis program: one cached jit per trainer
+    trainer.evaluate_separability(1)
+    first = trainer._separability_gen_fn
+    trainer.evaluate_separability(2)
+    assert trainer._separability_gen_fn is first
