@@ -33,7 +33,8 @@ def main():
     from bench import build_train_harness
 
     measure = "--measure" in sys.argv
-    h = build_train_harness(on_tpu=True)
+    on_tpu = jax.default_backend() != "cpu"
+    h = build_train_harness(on_tpu=on_tpu)
     steps, state, pred_params = h["steps"], h["state"], h["pred_params"]
     real, zs, cfg, batch = h["real"], h["zs"], h["cfg"], h["batch"]
     path_batch = max(1, batch // cfg.path_batch_shrink)
