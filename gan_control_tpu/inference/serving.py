@@ -136,10 +136,14 @@ class ServingController(Controller):
         return routed
 
     def _build_run(self, heads: tuple[tuple[str, str], ...],
-                   input_is_latent: bool, static_noise: bool):
+                   input_is_latent: bool, static_noise: bool,
+                   output_uint8: bool = False):
         """The raw (unjitted) fused request function — jitted by
         ``_serve_fn`` for live serving, closed over params and exported
-        by ``export_artifacts`` for model-code-free serving."""
+        by ``export_artifacts`` for model-code-free serving.
+        ``output_uint8``: quantize to uint8 IN-GRAPH — 4x less
+        device->host transfer, and batch-16 512px requests over the
+        tunnel are transfer-bound (tools/serving_bench.py)."""
         model, spec = self.model, self.spec
         fc = {head: self.fc_controls[head] for _, head in heads}
 
@@ -180,16 +184,21 @@ class ServingController(Controller):
                 params, [w], return_latents=True, input_is_latent=True,
                 noise=noise, rngs={"noise": rng},
             )
-            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0), w_out
+            img01 = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+            if output_uint8:
+                return jnp.round(img01 * 255.0).astype(jnp.uint8), w_out
+            return img01, w_out
 
         return run
 
     def _serve_fn(self, heads: tuple[tuple[str, str], ...],
-                  input_is_latent: bool, static_noise: bool):
-        key = (heads, input_is_latent, static_noise)
+                  input_is_latent: bool, static_noise: bool,
+                  output_uint8: bool = False):
+        key = (heads, input_is_latent, static_noise, output_uint8)
         fn = self._serve_cache.get(key)
         if fn is None:
-            fn = jax.jit(self._build_run(heads, input_is_latent, static_noise))
+            fn = jax.jit(self._build_run(heads, input_is_latent, static_noise,
+                                         output_uint8))
             self._serve_cache[key] = fn
         return fn
 
@@ -202,14 +211,20 @@ class ServingController(Controller):
         input_is_latent: bool = False,
         static_noise: bool = True,
         rng: jax.Array | None = None,
+        output: str = "float32",
         **controls,
     ):
         """One-dispatch controlled generation.
 
         Returns ``(images, latent_in, latent_w)`` as numpy, sliced to the
         request size — the ``gen_batch_by_controls`` triple. ``controls``
-        values are [n, dim] arrays keyed by group name.
+        values are [n, dim] arrays keyed by group name. ``output``:
+        "float32" ([0,1] floats, the reference contract) or "uint8"
+        (quantized in-graph; 4x less transfer — batch-16 512px requests
+        over a tunnel are transfer-bound, tools/serving_bench.py).
         """
+        if output not in ("float32", "uint8"):
+            raise ValueError(f"output must be 'float32' or 'uint8', got {output!r}")
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         rng, k_z, k_noise = jax.random.split(rng, 3)
@@ -247,7 +262,8 @@ class ServingController(Controller):
             return jnp.concatenate([a, fill], axis=0)
 
         heads = tuple(sorted((g, h) for g, (h, _) in routed.items()))
-        fn = self._serve_fn(heads, input_is_latent, static_noise)
+        fn = self._serve_fn(heads, input_is_latent, static_noise,
+                            output_uint8=(output == "uint8"))
         latent_in = pad(latent)
         controls_in = {g: pad(jnp.asarray(v)) for g, (_, v) in routed.items()}
         if self._shard is not None:
@@ -286,7 +302,8 @@ class ServingController(Controller):
     def export_artifacts(self, out_dir, groups: list[str] | None = None,
                          buckets: tuple[int, ...] | None = None,
                          static_noise: bool = True,
-                         platforms: tuple[str, ...] | None = None) -> dict:
+                         platforms: tuple[str, ...] | None = None,
+                         output: str = "float32") -> dict:
         """Bake the fused request executables into portable serving
         artifacts (``jax.export`` StableHLO, weights embedded as
         constants): one ``.bin`` per (group-set, bucket) plus a
@@ -317,7 +334,8 @@ class ServingController(Controller):
             )
             heads = tuple(sorted((g, h) for g, (h, _) in routed.items()))
             run = self._build_run(heads, input_is_latent=False,
-                                  static_noise=static_noise)
+                                  static_noise=static_noise,
+                                  output_uint8=(output == "uint8"))
             fc_params = {h: self.fc_params[h] for _, h in heads}
 
             def fn(latent, controls, rng, _run=run, _fc=fc_params):
@@ -345,7 +363,7 @@ class ServingController(Controller):
                 _log.info("exported %s (%s)", name, ", ".join(exp.platforms))
 
         manifest = {"style_dim": style_dim, "static_noise": static_noise,
-                    "artifacts": entries}
+                    "output": output, "artifacts": entries}
         (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
         return manifest
 

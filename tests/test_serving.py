@@ -133,7 +133,7 @@ def test_bucket_reuse_no_recompile(serving):
     heads = (("orientation", "orientation"),)
     serving.generate(batch_size=2, rng=jax.random.PRNGKey(0),
                      orientation=_orientation(2))
-    fn = serving._serve_cache[(heads, False, True)]
+    fn = serving._serve_cache[(heads, False, True, False)]
     n_traces = fn._cache_size()
     serving.generate(batch_size=3, rng=jax.random.PRNGKey(1),
                      orientation=_orientation(3))
@@ -165,8 +165,8 @@ def test_warmup_precompiles_ladder(controller_root):
     sc = ServingController(controller_root, buckets=(2, 4))
     sc.warmup()
     key_primary = ((("expression", "expression"),
-                    ("orientation", "orientation")), False, True)
-    key_q = ((("expression", "expression_q"),), False, True)
+                    ("orientation", "orientation")), False, True, False)
+    key_q = ((("expression", "expression_q"),), False, True, False)
     assert key_primary in sc._serve_cache and key_q in sc._serve_cache
     fn = sc._serve_cache[key_primary]
     assert fn._cache_size() == 2  # one trace per ladder rung
@@ -318,3 +318,31 @@ def test_random_noise_bucket_invariance(controller_root):
     img_b, _, w_b = b.generate(**kwargs)
     np.testing.assert_allclose(img_a, img_b, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(w_a, w_b, rtol=1e-5, atol=1e-6)
+
+
+def test_uint8_output_mode(serving, tmp_path):
+    """output='uint8' quantizes in-graph (4x less device->host transfer);
+    values match the float path within 1/255, and the exported-artifact
+    manifest records the mode."""
+    from gan_control_tpu.inference.serving import load_exported_serving
+
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (2, STYLE)))
+    kwargs = dict(latent=z, rng=jax.random.PRNGKey(9),
+                  orientation=_orientation(2))
+    img_f, _, _ = serving.generate(**kwargs)
+    img_u, _, _ = serving.generate(output="uint8", **kwargs)
+    assert img_u.dtype == np.uint8
+    np.testing.assert_allclose(img_u / 255.0, img_f, atol=0.51 / 255)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        serving.generate(output="float16", **kwargs)
+
+    out = tmp_path / "u8"
+    manifest = serving.export_artifacts(out, groups=["orientation"],
+                                        buckets=(4,), output="uint8")
+    assert manifest["output"] == "uint8"
+    exported = load_exported_serving(out)
+    img_e, _, _ = exported.generate(**kwargs)
+    assert img_e.dtype == np.uint8
+    np.testing.assert_array_equal(img_e, img_u)
