@@ -235,46 +235,42 @@ def insert_group_latent(
     )
 
 
-def randomized_spec(
+def random_placements(
     spec: GroupSpec, rng: np.random.Generator
-) -> GroupSpec:
-    """Draw a new random slot placement for every group (host-side, per step).
+) -> dict[str, list[int]]:
+    """Draw a fresh random slot placement for every group (host-side, per
+    step), as {group: sorted even slot starts} — each start s places the
+    arranged pair (s, s+1).
 
     Behavior contract: RandomMiniBatchUtils.randomize_places_in_batch
-    (mini_batch_random_multi_split_utils.py:45-68): each group gets an even
-    number of slots within its count_range, consuming the whole mini-batch.
-    For the recompile-free per-step variant, convert the result to arrays
-    with :func:`arrangement_from_spec` (or call :func:`random_arrangement`)
-    and feed them into one compiled step.
+    (mini_batch_random_multi_split_utils.py:45-68), draw-for-draw:
+      - each group with a count_range draws an even size uniformly from
+        arange(lo, hi+2, 2) and then ``size//2`` even slot starts WITHOUT
+        replacement — but INDEPENDENTLY of every other group: placements
+        may overlap across groups (a pair can share several groups'
+        sub-latents at once) and need not cover the mini-batch (some rows
+        belong to no group that step);
+      - a group without a count_range keeps its STATIC placement (the
+        reference leaves place_in_mini_batch untouched for those).
     """
-    n = len(spec.groups)
-    counts = []
-    remaining = spec.mini_batch
-    for i, g in enumerate(spec.groups):
-        lo, hi = g.count_range if g.count_range else (0, spec.mini_batch)
-        lo = max(lo, 0)
-        if i == n - 1:
-            c = remaining
-        else:
-            min_rest = sum(
-                (gg.count_range[0] if gg.count_range else 0) for gg in spec.groups[i + 1 :]
+    placements: dict[str, list[int]] = {}
+    even_slots = np.arange(0, spec.mini_batch, 2)
+    for g in spec.groups:
+        if g.count_range is None:
+            placements[g.name] = (
+                list(range(g.mb_start, g.mb_end, 2))
+                if g.mb_start is not None else []
             )
-            hi_eff = min(hi, remaining - min_rest)
-            lo_eff = min(lo, hi_eff)
-            c = int(rng.integers(lo_eff // 2, hi_eff // 2 + 1)) * 2
-        if c < 0 or c > remaining:
-            c = remaining
-        counts.append(c)
-        remaining -= c
-    order = rng.permutation(n)
-    new_groups = list(spec.groups)
-    cursor = 0
-    for idx in order:
-        g = spec.groups[idx]
-        c = counts[idx]
-        new_groups[idx] = dataclasses.replace(g, mb_start=cursor, mb_end=cursor + c)
-        cursor += c
-    return dataclasses.replace(spec, groups=tuple(new_groups))
+            continue
+        lo, hi = g.count_range
+        size = int(rng.choice(np.arange(lo, hi + 2, 2)))
+        starts: list[int] = []
+        if size > 0:
+            starts = sorted(
+                int(v) for v in rng.choice(even_slots, size // 2, replace=False)
+            )
+        placements[g.name] = starts
+    return placements
 
 
 # ---------------------------------------------------------------------------
@@ -303,51 +299,77 @@ class Arrangement:
       pairwise distance used by the criterion is symmetric, marking the
       strictly-lower (odd, even) entry reproduces the reference's
       reorder-then-lower-triangle bookkeeping without any reordering.
-    all_pair_mask: [mini_batch, mini_batch] bool — union of every group's
-      pair entries (the "not-same" pairs of group g are
-      ``all_pair_mask & ~same_pair_masks[g]``).
+    not_same_pair_masks: {group: [mini_batch, mini_batch] bool} — the
+      group's "not-same" pairs: its COMPLEMENT rows (rows outside every
+      one of its pairs) taken in batch order and paired by adjacency,
+      entry [later, earlier] — exactly the reference's
+      get_not_sub_group + make_not_same_last_layer_mask bookkeeping
+      (loss_model.py:183-198). For a static covering placement these are
+      precisely the other groups' pairs; for the randomized mode (where
+      placements may overlap or leave rows unpaired) the adjacency
+      pairing reproduces the reference's distribution.
     """
 
     pair_src: Any
     share_mask: Any
     noise_pair_src: Any
     same_pair_masks: dict
-    all_pair_mask: Any
+    not_same_pair_masks: dict
 
 
 jax.tree_util.register_dataclass(
     Arrangement,
     data_fields=["pair_src", "share_mask", "noise_pair_src",
-                 "same_pair_masks", "all_pair_mask"],
+                 "same_pair_masks", "not_same_pair_masks"],
     meta_fields=[],
 )
 
 
-def arrangement_from_spec(spec: GroupSpec, noise_group: str = "id") -> Arrangement:
-    """Materialize a (possibly randomized) GroupSpec's tables as arrays."""
+def arrangement_from_placements(
+    spec: GroupSpec, placements: dict[str, list[int]], noise_group: str = "id"
+) -> Arrangement:
+    """Materialize {group: even slot starts} as Arrangement arrays."""
     n = spec.mini_batch
-    pair_src = spec.pair_source_rows().astype(np.int32)
-    share = spec.share_mask()
+    pair_src = np.arange(n, dtype=np.int32)
+    share = np.zeros((n, spec.style_dim), dtype=bool)
     noise_src = np.arange(n, dtype=np.int32)
-    same_masks = {}
-    all_pairs = np.zeros((n, n), dtype=bool)
+    same_masks, not_same_masks = {}, {}
     for g in spec.groups:
+        starts = placements.get(g.name, [])
         m = np.zeros((n, n), dtype=bool)
-        if g.mb_start is not None:
-            for i in range(g.mb_start, g.mb_end, 2):
-                if i + 1 < g.mb_end:
-                    m[i + 1, i] = True
-                    if g.name == noise_group:
-                        noise_src[i + 1] = i
+        in_group = np.zeros((n,), dtype=bool)
+        for s0 in starts:
+            m[s0 + 1, s0] = True
+            in_group[s0] = in_group[s0 + 1] = True
+            pair_src[s0 + 1] = s0
+            share[s0 + 1, g.latent_start : g.latent_end] = True
+            if g.name == noise_group:
+                noise_src[s0 + 1] = s0
         same_masks[g.name] = m
-        all_pairs |= m
+        # complement rows in batch order, paired by adjacency (reference
+        # get_not_sub_group + make_not_same_last_layer_mask)
+        comp = np.flatnonzero(~in_group)
+        nm = np.zeros((n, n), dtype=bool)
+        for a, b in zip(comp[0::2], comp[1::2]):
+            nm[max(a, b), min(a, b)] = True
+        not_same_masks[g.name] = nm
     return Arrangement(
         pair_src=pair_src,
         share_mask=share,
         noise_pair_src=noise_src,
         same_pair_masks=same_masks,
-        all_pair_mask=all_pairs,
+        not_same_pair_masks=not_same_masks,
     )
+
+
+def arrangement_from_spec(spec: GroupSpec, noise_group: str = "id") -> Arrangement:
+    """Materialize a static GroupSpec's tables as Arrangement arrays."""
+    placements = {
+        g.name: (list(range(g.mb_start, g.mb_end, 2))
+                 if g.mb_start is not None else [])
+        for g in spec.groups
+    }
+    return arrangement_from_placements(spec, placements, noise_group=noise_group)
 
 
 def random_arrangement(
@@ -355,8 +377,12 @@ def random_arrangement(
 ) -> Arrangement:
     """Fresh random slot placement for this step, as arrays (host-side, cheap:
     ~len(groups) numpy ops). Contract: RandomMiniBatchUtils re-randomizing
-    every iteration (mini_batch_random_multi_split_utils.py:45-68)."""
-    return arrangement_from_spec(randomized_spec(spec, rng), noise_group=noise_group)
+    every iteration (mini_batch_random_multi_split_utils.py:45-68) —
+    independent per-group draws; overlapping and non-covering placements
+    included (see random_placements)."""
+    return arrangement_from_placements(
+        spec, random_placements(spec, rng), noise_group=noise_group
+    )
 
 
 def apply_arrangement_z(arr: Arrangement, z: jax.Array) -> jax.Array:

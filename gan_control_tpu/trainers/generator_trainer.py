@@ -132,6 +132,10 @@ class GeneratorTrainer:
             ada_enabled=tc.get("augment", {}).get("enabled", False),
             ada_target=tc.get("augment", {}).get("ada_target", 0.6),
             ada_length=tc.get("augment", {}).get("ada_length", 500_000),
+            # augment['p'] > 0 = FIXED augmentation strength (never
+            # adapted); 0 = ADA adaptation toward ada_target (reference
+            # generator_trainer.py:334, 679-685)
+            ada_p_fixed=tc.get("augment", {}).get("p", 0.0),
             # predictor-forward remat in g_step: OFF under the bf16-no-remat
             # memory plan (activations fit; recomputing the 6-net battery
             # in the backward costs ~21 ms/step at 512²/batch 16 on v5e —
@@ -189,6 +193,11 @@ class GeneratorTrainer:
             jax.random.PRNGKey(tc.get("seed", 0)),
             style_dim=self.step_cfg.style_dim,
         )
+        if self.step_cfg.ada_p_fixed > 0:
+            # fixed augmentation strength from step one (reference :334)
+            self.state = self.state.replace(
+                ada_p=jnp.asarray(self.step_cfg.ada_p_fixed, jnp.float32)
+            )
         self.start_iter = tc.get("start_iter", 0)
 
         # transfer learning: partial-load a pretrained generator

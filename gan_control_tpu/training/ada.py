@@ -291,6 +291,13 @@ def ada_p_update(
     n_pred: int,
     ada_length: float,
 ) -> jax.Array:
-    """p <- clip(p + sign(r_t - target) * n_pred / ada_length, 0, 1)
-    (reference generator_trainer.py:678-688, per-step variant)."""
-    return jnp.clip(p + jnp.sign(r_t - ada_target) * (n_pred / ada_length), 0.0, 1.0)
+    """p <- clip(p + sign(r_t - target) * (ada_target/ada_length) * n_pred,
+    0, 1).
+
+    Reference: ada_aug_step = ada_target / ada_length
+    (generator_trainer.py:335) applied as sign * ada_aug_step * n_pred
+    (:684). Per-step variant: the reference accumulates sign statistics
+    until n_pred > 255 then takes one big step; updating every D step with
+    n_pred = batch has the same expected rate with finer granularity."""
+    step = ada_target / ada_length
+    return jnp.clip(p + jnp.sign(r_t - ada_target) * (step * n_pred), 0.0, 1.0)

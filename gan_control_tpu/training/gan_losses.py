@@ -67,5 +67,8 @@ def path_length_penalty(
     (grad,) = vjp_fn(noise)  # d (img·noise).sum() / d latents, [B, L, 512]
     path_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grad), axis=2), axis=1))
     new_mean = mean_path_length + decay * (path_lengths.mean() - mean_path_length)
-    penalty = jnp.mean(jnp.square(path_lengths - jax.lax.stop_gradient(new_mean)))
+    # the reference does NOT detach path_mean inside the penalty (only the
+    # returned carry is detached, g_path_regularize :612-615): the penalty
+    # gradient carries the -decay coupling through path_lengths.mean()
+    penalty = jnp.mean(jnp.square(path_lengths - new_mean))
     return penalty, jax.lax.stop_gradient(new_mean), path_lengths

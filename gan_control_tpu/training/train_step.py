@@ -99,6 +99,10 @@ class TrainStepConfig:
     ada_target: float = 0.6
     ada_length: float = 500_000.0
     ada_enabled: bool = False
+    # the configured augment['p']: 0 = adapt p toward ada_target (ADA), a
+    # positive value = FIXED augmentation strength, never adapted
+    # (reference generator_trainer.py:334, 679-685)
+    ada_p_fixed: float = 0.0
     # re-run each frozen predictor in the backward instead of holding all
     # of their activations at once (SURVEY.md §7.3.2 memory plan)
     remat_predictors: bool = True
@@ -139,10 +143,10 @@ def _attr_losses_for_batch(
             for k in range(num_mini):
                 chunk = [f[k * mb : (k + 1) * mb] for f in feats]
                 if arr is not None:
-                    same_m = arr.same_pair_masks[al.group]
                     loss_al = loss_al + contrastive_loss_masked(
                         al.cfg, chunk, al.dist_fn,
-                        same_m, arr.all_pair_mask & ~same_m,
+                        arr.same_pair_masks[al.group],
+                        arr.not_same_pair_masks[al.group],
                     )
                 else:
                     same, not_same = zip(
@@ -294,9 +298,17 @@ def make_train_steps(
             # must not straddle the fake/real boundary.
             fake_pred, _ = discriminator.apply(d_params, fake_img)
             real_pred, _ = discriminator.apply(d_params, real_in)
-            return d_logistic_loss(real_pred, fake_pred), (real_pred, fake_pred)
+            mean_loss = d_logistic_loss(real_pred, fake_pred)
+            # reference-exact gradient scale: discriminator_step divides the
+            # per-mini-batch mean by the MINI-BATCH SIZE (d_loss.div_(
+            # len(mini_real_img)), generator_trainer.py:658) — unlike the G
+            # and R1 steps, which divide by the mini-batch COUNT. The
+            # asymmetry changes the adv:R1 magnitude ratio inside Adam's
+            # shared moments, so it is replicated, not "fixed"; the logged
+            # d_loss metric stays the interpretable unscaled mean.
+            return mean_loss / cfg.mini_batch, (mean_loss, real_pred, fake_pred)
 
-        (loss, (real_pred, fake_pred)), grads = jax.value_and_grad(
+        (_, (loss, real_pred, fake_pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.d_params)
         updates, d_opt_state = d_tx.update(grads, state.d_opt_state, state.d_params)
@@ -311,7 +323,9 @@ def make_train_steps(
             "r_t": r_t,
         }
         ada_p = state.ada_p
-        if cfg.ada_enabled:
+        if cfg.ada_enabled and cfg.ada_p_fixed == 0:
+            # adapt only in ADA mode; a configured fixed p stays fixed
+            # (reference gates on augment['p'] == 0, :679)
             from gan_control_tpu.training.ada import ada_p_update
 
             ada_p = ada_p_update(
@@ -393,7 +407,11 @@ def make_train_steps(
         )
 
     def g_reg_step(state: GANTrainState, z_list):
-        rng, r_noise, r_path = jax.random.split(state.rng, 3)
+        rng, r_noise, r_path, r_mix = jax.random.split(state.rng, 4)
+        inject_index = (
+            jax.random.randint(r_mix, (), 1, generator.n_latent)
+            if len(z_list) > 1 else None
+        )
 
         def loss_fn(g_params):
             def synth(latent):
@@ -412,11 +430,21 @@ def make_train_steps(
                 generator.apply(g_params, z, method=type(generator).map_latent)
                 for z in z_list
             ]
-            # mixing in reg step uses the same w+ construction; for the
-            # shipped configs mixing=0 so one style -> broadcast w+.
-            latent = jnp.repeat(
-                w_list[0][:, None, :], generator.n_latent, axis=1
-            )
+            if len(w_list) > 1:
+                # style mixing in the reg step too (the reference forwards
+                # mixing_noise's 1-or-2 styles with a random inject index,
+                # generator_trainer.py:574): layers < inject_index take
+                # style 0, the rest style 1
+                layer = jnp.arange(generator.n_latent)[None, :, None]
+                latent = jnp.where(
+                    layer < inject_index,
+                    w_list[0][:, None, :],
+                    w_list[1][:, None, :],
+                )
+            else:
+                latent = jnp.repeat(
+                    w_list[0][:, None, :], generator.n_latent, axis=1
+                )
             penalty, new_mean, path_lengths = path_length_penalty(
                 synth, latent, r_path, state.mean_path_length
             )
@@ -428,6 +456,16 @@ def make_train_steps(
         )(state.g_params)
         updates, g_opt_state = g_tx.update(grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
+        # reference EMA timing: accumulate happens ONCE per iteration AFTER
+        # the reg step (generator_trainer.py:366-369), so the EMA must see
+        # the reg-updated params. g_step already blended e' = d*e +
+        # (1-d)*p_pre; adding (1-d)*(p_post - p_pre) here lands exactly on
+        # the reference's d*e + (1-d)*p_post without a second decay.
+        one_minus_d = 1.0 - ema_decay(cfg.batch, cfg.g_moving_average)
+        g_ema = jax.tree_util.tree_map(
+            lambda e, pn, po: e + one_minus_d * (pn - po),
+            state.g_ema, g_params, state.g_params,
+        )
         metrics = {
             "g_path_loss": penalty,
             "g_path_length": path_lengths.mean(),
@@ -437,6 +475,7 @@ def make_train_steps(
             state.replace(
                 g_params=g_params,
                 g_opt_state=g_opt_state,
+                g_ema=g_ema,
                 mean_path_length=new_mean,
                 rng=rng,
             ),

@@ -89,3 +89,64 @@ def test_registry_recon3d_sub_losses():
     images = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3)) * 0.3
     feats = al.feature_fn(params["recon_gamma_loss"], images)
     assert feats[-1].shape == (4, 27)
+
+
+def test_random_placements_reference_semantics():
+    """random_placements matches RandomMiniBatchUtils.randomize_places_in_batch
+    (reference mini_batch_random_multi_split_utils.py:45-68) draw-for-draw:
+    even sizes uniform over the count_range, independent per-group start
+    draws (overlaps across groups and non-covering placements both occur),
+    and the not-same masks pair each group's COMPLEMENT rows by adjacency
+    (get_not_sub_group + make_not_same_last_layer_mask bookkeeping)."""
+    import numpy as np
+
+    from gan_control_tpu.latent.groups import (
+        GroupSpec,
+        LatentGroup,
+        arrangement_from_placements,
+        arrangement_from_spec,
+        random_placements,
+    )
+
+    spec = GroupSpec(groups=(
+        LatentGroup("id", 0, 32, mb_start=0, mb_end=4, count_range=(2, 6)),
+        LatentGroup("other", 32, 64, mb_start=4, mb_end=8, count_range=(2, 6)),
+    ), mini_batch=8, style_dim=64)
+    rng = np.random.default_rng(0)
+    sizes, overlap, noncover = set(), False, False
+    for _ in range(300):
+        pl = random_placements(spec, rng)
+        for g, starts in pl.items():
+            sizes.add((g, 2 * len(starts)))
+            assert all(s % 2 == 0 and 0 <= s < 8 for s in starts)
+        overlap |= bool(set(pl["id"]) & set(pl["other"]))
+        noncover |= (len(set(pl["id"]) | set(pl["other"])) * 2 < 8)
+        arr = arrangement_from_placements(spec, pl)
+        for g in ("id", "other"):
+            in_g = np.zeros(8, bool)
+            for s in pl[g]:
+                in_g[s] = in_g[s + 1] = True
+            comp = np.flatnonzero(~in_g)
+            nm = np.asarray(arr.not_same_pair_masks[g])
+            assert nm.sum() == len(comp) // 2
+            for a, b in zip(comp[0::2], comp[1::2]):
+                assert nm[max(a, b), min(a, b)]
+    assert sizes == {(g, c) for g in ("id", "other") for c in (2, 4, 6)}
+    assert overlap and noncover
+
+    # a group WITHOUT a count_range keeps its static placement (the
+    # reference only re-randomizes groups with count_in_mini_bach)
+    spec2 = GroupSpec(groups=(
+        LatentGroup("id", 0, 32, mb_start=0, mb_end=4, count_range=(2, 6)),
+        LatentGroup("other", 32, 64, mb_start=4, mb_end=8),
+    ), mini_batch=8, style_dim=64)
+    for _ in range(20):
+        assert random_placements(spec2, rng)["other"] == [4, 6]
+
+    # static arrangement: each group's not-same pairs are exactly the other
+    # group's arranged pairs (covering even-aligned placement)
+    arr_s = arrangement_from_spec(spec)
+    np.testing.assert_array_equal(
+        np.asarray(arr_s.not_same_pair_masks["id"]),
+        np.asarray(arr_s.same_pair_masks["other"]),
+    )

@@ -30,8 +30,10 @@ STYLE = 64
 def tiny_spec():
     return GroupSpec(
         groups=(
-            LatentGroup("id", 0, 32, mb_start=0, mb_end=4),
-            LatentGroup("other", 32, 64, mb_start=4, mb_end=8),
+            LatentGroup("id", 0, 32, mb_start=0, mb_end=4,
+                        count_range=(2, 6)),
+            LatentGroup("other", 32, 64, mb_start=4, mb_end=8,
+                        count_range=(2, 6)),
         ),
         mini_batch=BATCH,
         style_dim=STYLE,
@@ -415,3 +417,19 @@ def test_sharded_step_collectives_are_gradient_sized(setup):
     )
     for colls in (colls_d, colls_g):
         assert colls.get("all-reduce", 0) <= n_params, (colls, n_params)
+
+
+def test_g_reg_step_style_mixing(setup):
+    """g_reg_step with two styles regularizes a MIXED w+ (random inject
+    index, reference generator_trainer.py:574 forwards mixing_noise) — not
+    a broadcast of style 0 only."""
+    spec, gen, disc, steps, state = setup
+    z0 = jax.random.normal(jax.random.PRNGKey(31), (BATCH // 2, STYLE))
+    z1 = jax.random.normal(jax.random.PRNGKey(32), (BATCH // 2, STYLE))
+    g_reg = jax.jit(steps["g_reg_step"])
+    s_single, m_single = g_reg(state, (z0,))
+    s_mixed, m_mixed = g_reg(state, (z0, z1))
+    for m in (m_single, m_mixed):
+        assert np.isfinite(float(m["g_path_loss"]))
+    # the second style must influence the statistic
+    assert float(m_mixed["g_path_length"]) != float(m_single["g_path_length"])
