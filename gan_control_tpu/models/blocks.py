@@ -170,9 +170,18 @@ class ModulatedNoiseInjection(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, noise: jax.Array | None = None) -> jax.Array:
+        if not (self.zeros or self.id_zeros):
+            raise ValueError(
+                "ModulatedNoiseInjection needs zeros or id_zeros (the "
+                "reference's forward returns None in that case — a bug its "
+                "callers never hit; use NoiseInjection for normal mode)"
+            )
+        # the weight param is registered even in zeros mode (the reference
+        # constructs nn.Parameter unconditionally, :1024) so checkpoints
+        # and parameter-tree mappings line up
+        w = self.param("weight", nn.initializers.zeros, (1,))
         if self.zeros:
             return x
-        w = self.param("weight", nn.initializers.zeros, (1,))
         if noise is None:
             b, h, wdt, _ = x.shape
             noise = jax.random.normal(self.make_rng("noise"), (b, h, wdt, 1), x.dtype)

@@ -239,10 +239,13 @@ class Generator(nn.Module):
             if self.model_mode == "896" and 2**i == 16:
                 overwrite_padding = 0
                 overwrite_negative_padding = -1
+            # the reference passes noise_mode only to conv1 and the
+            # UPSAMPLE convs; the second conv of each pair keeps the
+            # default 'normal' injection (gan_model.py:606-610)
             convs.append(
                 styled_conv(
                     out_ch, 3, blur_kernel=self.blur_kernel,
-                    overwrite_padding=overwrite_padding, noise_mode=self.noise_mode,
+                    overwrite_padding=overwrite_padding,
                 )
             )
             to_rgbs.append(
@@ -257,12 +260,27 @@ class Generator(nn.Module):
     # -- public API --------------------------------------------------------------
 
     def map_latent(self, z: jax.Array) -> jax.Array:
-        """z -> w (the reference's `get_latent`/`G.style`, :706-707)."""
+        """z -> w (the reference's `get_latent`/`G.style`, :706-707).
+
+        In VAE mode mu/logvar are sown into the 'intermediates' collection
+        (keys vae_mu / vae_logvar) — the reference stashes them on the
+        module (self.mu/self.logvar, :734-735) for the KL term; retrieve
+        with ``apply(..., mutable=["intermediates"])`` or use
+        :meth:`map_latent_vae` directly."""
         if self.vae:
-            w, _, _ = self.style(z)
+            w, mu, logvar = self.style(z)
+            self.sow("intermediates", "vae_mu", mu)
+            self.sow("intermediates", "vae_logvar", logvar)
             return w
         if self.marge_fc:
             return self.style_shared(self.style_split(z))
+        return self.style(z)
+
+    def map_latent_vae(self, z: jax.Array):
+        """z -> (w, mu, logvar) — the VAE objective's KL inputs (reference
+        gan_model.py:734-735)."""
+        if not self.vae:
+            raise ValueError("map_latent_vae requires vae=True")
         return self.style(z)
 
     def noise_shapes(self, batch: int = 1) -> list[tuple[int, int, int, int]]:
@@ -298,6 +316,12 @@ class Generator(nn.Module):
             styles = [
                 truncation_latent + truncation * (s - truncation_latent) for s in styles
             ]
+        elif not (isinstance(truncation, (int, float)) and truncation == 1):
+            # the reference raises (None + tensor) rather than silently
+            # sampling at psi=1 (gan_model.py:744-752)
+            raise ValueError(
+                "truncation != 1 requires truncation_latent (mean_latent)"
+            )
 
         # Build w+ [B, n_latent, style_dim]
         if len(styles) < 2:
@@ -307,7 +331,15 @@ class Generator(nn.Module):
                 latent = styles[0]
         else:
             if inject_index is None:
-                inject_index = self.n_latent // 2
+                # reference: random.randint(1, n_latent - 1) per call
+                # (gan_model.py:763-764); draw from the 'noise' rng stream
+                # when available, else fall back to the midpoint
+                if self.has_rng("noise"):
+                    inject_index = jax.random.randint(
+                        self.make_rng("noise"), (), 1, self.n_latent
+                    )
+                else:
+                    inject_index = self.n_latent // 2
             layer_ids = jnp.arange(self.n_latent)[None, :, None]
             w0 = styles[0][:, None, :]
             w1 = styles[1][:, None, :]

@@ -114,3 +114,66 @@ def test_896_mode_forward():
     logit, _ = d.apply(d_params, img)
     assert logit.shape == (1, 1)
     assert np.isfinite(np.asarray(logit)).all()
+
+
+def _tiny_gen(**kw):
+    gen = Generator(size=16, style_dim=32, n_mlp=2, max_channels=32, **kw)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
+    params = gen.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, [z]
+    )
+    return gen, params, z
+
+
+def test_zeros_noise_mode_only_on_upsample_convs():
+    """noise_mode applies to conv1 and the UPSAMPLE convs only; the second
+    conv of each pair keeps the default 'normal' injection (reference
+    gan_model.py:567, 592-599 pass noise_mode, :606-610 do not)."""
+    gen, params, z = _tiny_gen(noise_mode="zeros")
+    bound = gen.bind(params, rngs={"noise": jax.random.PRNGKey(3)})
+    modes = [c.noise_mode for c in bound.convs]
+    assert modes[0::2] == ["zeros"] * (len(modes) // 2)
+    assert modes[1::2] == ["normal"] * (len(modes) // 2)
+    # the zeros-mode injections still register their weight param (the
+    # reference constructs nn.Parameter unconditionally, :1024)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    noise_params = [p for p, _ in flat if any("noise" in str(k) for k in p)]
+    assert len(noise_params) == len(modes) + 1  # + conv1
+
+
+def test_mixing_without_index_randomizes_crossover():
+    """Two styles with inject_index=None draw a random crossover per call
+    (reference random.randint, gan_model.py:763-764) — fixed injection
+    noise isolates the crossover as the only rng-dependent piece."""
+    gen, params, z = _tiny_gen()
+    z2 = jax.random.normal(jax.random.PRNGKey(9), (2, 32))
+    noise = [jnp.zeros(s) for s in gen.noise_shapes(2)]
+    imgs = [
+        np.asarray(gen.apply(params, [z, z2], noise=noise,
+                             rngs={"noise": jax.random.PRNGKey(k)})[0])
+        for k in range(6)
+    ]
+    assert any(not np.allclose(imgs[0], im) for im in imgs[1:]), \
+        "crossover never varied"
+
+
+def test_truncation_without_latent_raises():
+    gen, params, z = _tiny_gen()
+    with pytest.raises(ValueError, match="truncation_latent"):
+        gen.apply(params, [z], truncation=0.7,
+                  rngs={"noise": jax.random.PRNGKey(3)})
+
+
+def test_vae_exposes_mu_logvar():
+    """VAE mode surfaces mu/logvar for the KL term (reference stashes
+    self.mu/self.logvar, gan_model.py:734-735)."""
+    gen, params, z = _tiny_gen(vae=True)
+    w, mu, logvar = gen.apply(params, z, method=type(gen).map_latent_vae,
+                              rngs={"noise": jax.random.PRNGKey(5)})
+    assert w.shape == (2, 32) and mu.shape == logvar.shape
+    _, inter = gen.apply(params, [z], rngs={"noise": jax.random.PRNGKey(3)},
+                         mutable=["intermediates"])
+    leaves = {str(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(inter)[0]}
+    assert any("vae_mu" in k for k in leaves)
+    assert any("vae_logvar" in k for k in leaves)
