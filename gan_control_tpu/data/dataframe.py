@@ -31,6 +31,13 @@ NUM_EXPRESSION_CLASSES = 8
 
 def attribute_column_for(loss_name: str, in_dim: int | None = None) -> str:
     if loss_name == "expression_loss":
+        if in_dim is not None and in_dim not in (64, 8):
+            # reference validation (controller_trainer.py:148-149): fail at
+            # init, not as a Dense shape mismatch in the first jitted step
+            raise ValueError(
+                f"expression_loss in_dim must be 8 (expression_q) or 64 "
+                f"(expression3d), got {in_dim}"
+            )
         return "expression3d" if (in_dim or 64) == 64 else "expression_q"
     if loss_name in ATTRIBUTE_COLUMNS:
         return ATTRIBUTE_COLUMNS[loss_name]

@@ -41,7 +41,17 @@ class Controller(Inference):
         self.fc_controls = {}
         self.fc_params = {}
         self.config_controls = {}
-        names = list(self.spec.names) + ["expression_q"]
+        if self.spec is None:
+            # merged/vanilla generator: no latent partition — a single
+            # merged controller predicts the FULL w (ControllerTrainer's
+            # spec=None path); discover it under every head-like subdir
+            names = [
+                d.name.split("_")[0] for d in controller_dir.iterdir()
+                if d.is_dir() and d.name != "generator"
+            ]
+            names = sorted(set(names))
+        else:
+            names = list(self.spec.names) + ["expression_q"]
         for group in names:
             found = self.retrieve_controller(controller_dir, group)
             if found is None:
@@ -60,8 +70,9 @@ class Controller(Inference):
             if d.is_dir() and d.name.startswith(group) and d.name != "generator"
         )
         # exact-prefix collision: 'expression' must not swallow 'expression_q'
-        if group != "expression_q":
-            candidates = [c for c in candidates if not c.name.startswith("expression_q")] if group == "expression" else candidates
+        if group == "expression":
+            candidates = [c for c in candidates
+                          if not c.name.startswith("expression_q")]
         if not candidates:
             return None
         cdir = candidates[-1]
@@ -72,7 +83,8 @@ class Controller(Inference):
         state_dict = ckpt_lib.load_state_dict(ckpt_path)
         mcfg = cfg.get("model_config", {})
         group_key = "expression" if group == "expression_q" else group
-        out_dim = self.spec.group(group_key).latent_size
+        out_dim = (self.spec.group(group_key).latent_size if self.spec is not None
+                   else self.config["model_config"].get("latent_size", 512))
         model = FcStack(
             n_mlp=mcfg.get("n_mlp", 4),
             mid_dim=mcfg.get("mid_dim", 512),
@@ -125,14 +137,24 @@ class Controller(Inference):
                         f"{sorted(self.fc_controls)}"
                     )
                 group_w = self.generate_group_w_latent(group, value)
-            latent_w = insert_group_latent(self.spec, latent_w, group_w,
-                                           "expression" if group == "expression_q" else group)
+            if self.spec is None:
+                # merged controller on a vanilla generator: the head
+                # predicts the FULL w
+                latent_w = jnp.broadcast_to(group_w, latent_w.shape)
+            else:
+                latent_w = insert_group_latent(
+                    self.spec, latent_w, group_w,
+                    "expression" if group == "expression_q" else group,
+                )
 
         injection_noise = None
         if static_noise:
             injection_noise = self.expend_noise(self.noise, latent.shape[0])
         run = self._apply_fn(True, static_noise)
-        img, latent_w_out = run(self.params, latent_w, injection_noise, k_noise)
+        img, _ = run(self.params, latent_w, injection_noise, k_noise)
         if normalize:
             img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
-        return img, latent, latent_w_out
+        # third value is the ASSEMBLED latent (w [B,512], or the w+ that was
+        # passed in) — the reference returns its pre-synthesis latent_w
+        # (controller.py:51-54), NOT the generator's broadcast w+
+        return img, latent, latent_w

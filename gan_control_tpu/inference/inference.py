@@ -197,6 +197,12 @@ class Inference:
 
         injection_noise = None
         if static_noise:
+            # the reference draws a FRESH static realization per call
+            # (reset_noise() inside gen_batch, inference.py:69-71) and
+            # shares it across the batch; deterministic in this call's rng.
+            # NOTE: gen_batch_by_controls intentionally does NOT reset —
+            # it reuses self.noise, exactly like the reference.
+            self.reset_noise(jax.random.fold_in(k_noise, 1))
             injection_noise = self.expend_noise(self.noise, latent.shape[0])
 
         if truncation < 1:

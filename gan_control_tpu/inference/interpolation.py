@@ -61,9 +61,25 @@ def interpolate_by_group(
         for i in range(num_of_intermediate_latents)
     ]
 
+    # ONE injection-noise realization expanded over the batch (the
+    # reference expands a single make_noise() draw, inference_class.py
+    # :134-135): every column shares identical fine texture, so the frames
+    # isolate the interpolated group as the only varying factor
+    shapes = getattr(model, "noise_shapes", None)
+    noise = None
+    if shapes is not None:
+        noise = [
+            jnp.broadcast_to(
+                jax.random.normal(jax.random.fold_in(k_noise, li), (1,) + sh[1:]),
+                (batch,) + sh[1:],
+            )
+            for li, sh in enumerate(shapes(1))
+        ]
+
     @jax.jit
     def _gen(p, z):
-        img, _ = model.apply(p, [z], rngs={"noise": k_noise})
+        kw = {"noise": noise} if noise is not None else {}
+        img, _ = model.apply(p, [z], rngs={"noise": k_noise}, **kw)
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
     def gen(z):

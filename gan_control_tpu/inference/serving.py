@@ -180,14 +180,17 @@ class ServingController(Controller):
                     )(row_keys)
                     for li, n in enumerate(noise1)
                 ]
-            img, w_out = model.apply(
+            img, _ = model.apply(
                 params, [w], return_latents=True, input_is_latent=True,
                 noise=noise, rngs={"noise": rng},
             )
             img01 = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+            # third value = the ASSEMBLED latent (reference contract:
+            # gen_batch_by_controls returns its pre-synthesis latent_w,
+            # controller.py:51-54), not the generator's broadcast w+
             if output_uint8:
-                return jnp.round(img01 * 255.0).astype(jnp.uint8), w_out
-            return img01, w_out
+                return jnp.round(img01 * 255.0).astype(jnp.uint8), w
+            return img01, w
 
         return run
 

@@ -106,10 +106,18 @@ class ControllerTrainer:
             self.group_slice = (group.latent_start, group.latent_end)
             self.group_latent_size = group.latent_size
 
-        # save dir: self-contained layout with a copy of the generator
+        # save dir: self-contained layout with a copy of the generator.
+        # The dir prefix is the controller HEAD, not the group: an 8-d
+        # expression controller must be discoverable under the
+        # 'expression_q' slot (reference layout: expression_q* dirs,
+        # inference/controller.py:25-27,87) and must not shadow the 64-d
+        # 'expression' head.
+        self.head_name = self.working_group
+        if self.working_group == "expression" and mc.get("in_dim") == 8:
+            self.head_name = "expression_q"
         self.save_dir = None
         if init_dirs:
-            name = f"{self.working_group}_{self.config.get('save_name', 'controller')}"
+            name = f"{self.head_name}_{self.config.get('save_name', 'controller')}"
             self.save_dir = make_save_dir(
                 self.config.get("results_dir", "results/controllers"),
                 name,
@@ -146,18 +154,86 @@ class ControllerTrainer:
             self.loader, self.dataset = data_loader
             self.eval_loader, self.eval_dataset = eval_data if eval_data else (None, None)
 
-        # losses
-        self.use_attribute_rec = "attribute_rec" in tc.get("losses", ["latent_rec"])
+        # losses (reference gates each term on the config 'losses' list,
+        # controller_trainer.py:222-239)
+        losses = tc.get("losses", ["latent_rec"])
+        self.use_latent_rec = "latent_rec" in losses
+        self.use_attribute_rec = "attribute_rec" in losses
+        if not (self.use_latent_rec or self.use_attribute_rec):
+            raise ValueError(f"training_config.losses enables nothing: {losses}")
         self.attribute_rec_w = tc.get("attribute_rec_w", 0.0)
         self.rec_kind = tc.get("rec_loss", "l1")
-        self.predict_fn = predict_fn
-        self.criterion = controller_criterion
-        if self.use_attribute_rec and (predict_fn is None or controller_criterion is None):
-            raise ValueError("attribute_rec requires predict_fn + controller_criterion")
+        self._attr_pred_params = {}
+        if predict_fn is not None:
+            # injected predictor (tests / custom): takes images only
+            self.predict_fn = lambda pp, img, _f=predict_fn: _f(img)
+            self.criterion = controller_criterion
+            if self.use_attribute_rec and controller_criterion is None:
+                raise ValueError("injected predict_fn needs controller_criterion")
+        elif self.use_attribute_rec:
+            # build the predictor from the registry (the reference's
+            # init_loss builds LossModelClass from the generator run's loss
+            # config, controller_trainer.py:154-163)
+            (self.predict_fn, self.criterion,
+             self._attr_pred_params) = self._build_attribute_predictor(
+                loss_name, mc.get("in_dim")
+            )
+        else:
+            self.predict_fn = None
+            self.criterion = None
 
         self._step_fn = jax.jit(self._make_step())
         self._eval_fn = jax.jit(self._make_eval())
         self.metrics_history: list[dict] = []
+
+    def _build_attribute_predictor(self, loss_name: str, in_dim: int | None):
+        """Differentiable predict(params, images) + controller_criterion for
+        attribute_rec, built from the predictor registry with the
+        generator run's loss block (converted weights when present, random
+        with a loud warning otherwise). gamma / 64-d expression route
+        through the shared R-Net features (reference's recon-3d
+        sub-losses); the 8-class expression_q head has NO differentiable
+        predictor — the reference's ESR9Criterion lacks predict/
+        controller_criterion too, so its shipped controller trained
+        latent_rec-only."""
+        import os
+
+        from gan_control_tpu.losses.registry import PREDICTOR_MODULES, _load_predictor
+
+        if loss_name == "expression_loss" and in_dim == 8:
+            raise ValueError(
+                "attribute_rec is not available for the expression_q head "
+                "(no differentiable class predictor; the reference's "
+                "ESR9Criterion has no predict either) — use "
+                "losses=['latent_rec']"
+            )
+        feat = None
+        base = loss_name
+        if loss_name in ("gamma_loss", "recon_gamma_loss"):
+            base, feat = "recon_3d_loss", "gamma"
+        elif loss_name == "expression_loss" and in_dim == 64:
+            base, feat = "recon_3d_loss", "ex"
+        mod = _load_predictor(PREDICTOR_MODULES[base])
+        gen_tc = self.inference.config.get("training_config", {})
+        block = dict(gen_tc.get(base) or {})
+        model = mod.make_model(block)
+        mp = block.get("model_path", "")
+        if mp and os.path.exists(mp) and hasattr(mod, "convert_torch_weights"):
+            params = mod.convert_torch_weights(model, mp)
+        else:
+            _log.warning(
+                "%s attribute_rec: RANDOM predictor weights (no checkpoint "
+                "at %r) — the attribute loss is mechanically correct but "
+                "meaningless until real weights are converted", base, mp,
+            )
+            params = mod.init_params(model, jax.random.PRNGKey(11))
+        if feat is None:
+            fn = (lambda pp, img, _mod=mod, _m=model:
+                  _mod.predict(_m, pp, img))
+        else:
+            fn = (lambda pp, img, _mod=mod, _m=model, _f=feat:
+                  _mod.extract_feature(_mod.features(_m, pp, img)[-1], _f))
+        return fn, mod.controller_criterion, params
 
     def _copy_generator_into_save_dir(self):
         gdir = Path(self.save_dir) / "generator"
@@ -177,20 +253,24 @@ class ControllerTrainer:
     def _make_step(self):
         s, e = self.group_slice
 
-        def step(state: ControllerState, controls, org_latent, rng, g_params):
+        def step(state: ControllerState, controls, org_latent, rng, g_params,
+                 pred_params):
             def loss_fn(params):
                 pred_latent = self.controller.apply(params, controls)
                 metrics = {}
                 rec = self._rec_loss(pred_latent, org_latent[:, s:e])
                 metrics["latent_rec_loss"] = rec
-                total = rec
+                # latent_rec contributes to the objective only when listed
+                # (reference gates it, controller_trainer.py:224-228); the
+                # metric stays for observability either way
+                total = rec if self.use_latent_rec else jnp.zeros((), rec.dtype)
                 if self.use_attribute_rec:
                     latent = org_latent.at[:, s:e].set(pred_latent)
                     img, _ = self.generator.apply(
                         g_params, [latent], input_is_latent=True,
                         rngs={"noise": rng},
                     )
-                    pred_attr = self.predict_fn(img)
+                    pred_attr = self.predict_fn(pred_params, img)
                     attr_loss = self.criterion(pred_attr, controls)
                     metrics["attribute_loss"] = attr_loss
                     total = total + self.attribute_rec_w * attr_loss
@@ -212,7 +292,7 @@ class ControllerTrainer:
     def _make_eval(self):
         s, e = self.group_slice
 
-        def evaluate(params, controls, org_latent, rng, g_params):
+        def evaluate(params, controls, org_latent, rng, g_params, pred_params):
             """Held-out metrics (reference evaluate, controller_trainer.py
             :292-335): latent_rec always; attribute_rec (frozen-G synthesis
             with the predicted slice swapped in, re-predicted attribute vs
@@ -224,7 +304,7 @@ class ControllerTrainer:
                 img, _ = self.generator.apply(
                     g_params, [latent], input_is_latent=True, rngs={"noise": rng}
                 )
-                pred_attr = self.predict_fn(img)
+                pred_attr = self.predict_fn(pred_params, img)
                 out["eval_attribute_loss"] = self.criterion(pred_attr, controls)
             return out
 
@@ -242,7 +322,8 @@ class ControllerTrainer:
             ec, ew = next(self.eval_loader)
             rng, k = jax.random.split(rng)
             m = self._eval_fn(
-                self.state.params, jnp.asarray(ec), jnp.asarray(ew), k, self.g_params
+                self.state.params, jnp.asarray(ec), jnp.asarray(ew), k,
+                self.g_params, self._attr_pred_params,
             )
             for k2, v in m.items():
                 agg[k2] = agg.get(k2, 0.0) + float(v)
@@ -306,7 +387,8 @@ class ControllerTrainer:
             controls, w = next(self.loader)
             rng, k = jax.random.split(rng)
             self.state, metrics = self._step_fn(
-                self.state, jnp.asarray(controls), jnp.asarray(w), k, self.g_params
+                self.state, jnp.asarray(controls), jnp.asarray(w), k,
+                self.g_params, self._attr_pred_params,
             )
             if i % eval_interval == 0:
                 vals = {k2: float(v) for k2, v in metrics.items()}
