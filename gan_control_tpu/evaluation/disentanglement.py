@@ -39,21 +39,28 @@ def disentanglement_scores(
     num_sets: int = 10,
     set_size: int = 20,
     style_dim: int = 512,
+    baseline: Mapping[str, float] | None = None,
 ) -> dict[str, dict[str, float]]:
-    """Returns {varied_group: {attribute: normalized spread}}.
+    """Returns {varied_group: {attribute: normalized spread sigma}}.
 
     generate_fn: z -> images [-1,1]; attribute_fns: images -> [B,D] values.
-    The diagonal (varied group's own attribute) should be ~1 after
-    normalization; off-diagonals near 0 indicate disentanglement.
+    ``baseline``: per-attribute normalizers. The REFERENCE normalizes by
+    the attribute's spread over REAL FFHQ images (ffhq_std_df,
+    disentanglement_score.py:66-68) — pass those for paper-comparable
+    numbers. With None, the generator's own free-sampling spread is used
+    as a proxy; NOTE this can mask coverage deficits (a generator that
+    under-covers an attribute shrinks its own baseline). Compose the
+    per-group sigmas into the paper's DS_i with :func:`ds_index`.
     """
-    # baseline spread: free sampling
-    k_base, rng = jax.random.split(rng)
-    z_free = jax.random.normal(k_base, (set_size * 2, style_dim))
-    imgs = generate_fn(z_free)
-    baseline = {
-        name: all_vs_all_mean_distance(fn(imgs)) or 1.0
-        for name, fn in attribute_fns.items()
-    }
+    if baseline is None:
+        # proxy: free-sampling spread of THIS generator
+        k_base, rng = jax.random.split(rng)
+        z_free = jax.random.normal(k_base, (set_size * 2, style_dim))
+        imgs = generate_fn(z_free)
+        baseline = {
+            name: all_vs_all_mean_distance(fn(imgs)) or 1.0
+            for name, fn in attribute_fns.items()
+        }
 
     results: dict[str, dict[str, float]] = {}
     for group, (s, e) in group_slices.items():
@@ -71,3 +78,16 @@ def disentanglement_scores(
             name: float(np.mean(v) / baseline[name]) for name, v in spreads.items()
         }
     return results
+
+
+def ds_index(group_sigmas: Mapping[str, float], own_attribute: str) -> float:
+    """DS_i = prod over every OTHER attribute of sigma_own / sigma_attr
+    (reference disentanglement_score.py:72-79): high when varying group i
+    moves its own attribute much more than every other attribute."""
+    own = group_sigmas[own_attribute]
+    ds = 1.0
+    for name, sigma in group_sigmas.items():
+        if name == own_attribute:
+            continue
+        ds *= own / sigma
+    return float(ds)

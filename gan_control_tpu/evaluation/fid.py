@@ -85,7 +85,13 @@ def make_sharded_gen_feature_fn(generator, batch: int, style_dim: int,
         z = jax.random.normal(k_z, (chunk, style_dim))
         z = jax.lax.with_sharding_constraint(z, shard)
         img, _ = generator.apply(g_params, [z], rngs={"noise": k_noise})
-        img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+        # NO clipping: the reference feeds the raw (un-clamped) generator
+        # output to InceptionV3(normalize_input=False) (fid_utils/fid.py:
+        # 32-35) — StyleGAN2 has no tanh and pixels exceed [-1,1],
+        # especially early in training, so clamping would change FID
+        # relative to reference-computed curves. The module internally maps
+        # [0,1]->[-1,1]; img*0.5+0.5 undoes that exactly, leaving raw pixels.
+        img = img * 0.5 + 0.5
         with predictor_precision_ctx():
             return module.apply(feature_params, img)
 
@@ -104,12 +110,14 @@ def compute_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _sqrtm_psd(a: np.ndarray) -> np.ndarray:
     """Matrix square root; scipy.linalg.sqrtm when available (pytorch-fid
-    parity), else symmetric eigendecomposition."""
+    parity), else symmetric eigendecomposition. Complex results keep
+    their imaginary part so the caller can apply the reference's
+    large-imaginary-component check (fid_utils/fid.py:51-57)."""
     try:
         from scipy import linalg
 
         s, _ = linalg.sqrtm(a, disp=False)
-        return s.real
+        return s
     except ImportError:
         w, v = np.linalg.eigh((a + a.T) / 2)
         w = np.clip(w, 0, None)
@@ -126,6 +134,13 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
         offset = np.eye(cov1.shape[0]) * eps
         cov_sqrt = _sqrtm_psd((cov1 + offset) @ (cov2 + offset))
     if np.iscomplexobj(cov_sqrt):
+        # reference check (fid_utils/fid.py:51-57): a LARGE imaginary
+        # diagonal means sqrtm genuinely failed — raise rather than
+        # silently returning an underestimated FID (which could register
+        # as best_fid and save a bogus best checkpoint)
+        imag_max = float(np.max(np.abs(np.diagonal(cov_sqrt).imag)))
+        if imag_max > 1e-3:
+            raise ValueError(f"sqrtm has imaginary component {imag_max:g}")
         cov_sqrt = cov_sqrt.real
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * np.trace(cov_sqrt))
 

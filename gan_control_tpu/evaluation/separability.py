@@ -7,9 +7,10 @@ LossModelClass.calc_same_not_same_list, losses/loss_model.py:204-285):
   - sample N latents, copy the group chunk even -> odd rows, generate;
   - per predictor layer: signatures = even-row features, queries = odd-row
     features; distances via the predictor criterion;
-  - 'same' = matched-pair distances (diagonal), 'not_same' = per-signature
-    2nd-best (minimum non-matching) distance, 'all_not_same' = all
-    non-matching distances."""
+  - 'same' = matched-pair distances (diagonal), 'not_same' = PER-QUERY
+    2nd-best (minimum non-matching distance over signatures — reference
+    loss_model.py:218-227 iterates qid and mins over axis 0), 'all_not_same'
+    = all non-matching distances."""
 
 from __future__ import annotations
 
@@ -34,7 +35,10 @@ def separability_stats(dist_matrix: np.ndarray) -> dict[str, np.ndarray]:
     n = d.shape[0]
     same = np.diag(d).copy()
     off = np.where(np.eye(n, dtype=bool), np.inf, d)
-    not_same_2nd_best = off.min(axis=1)
+    # per QUERY: min over signatures (axis 0) — the matrix is asymmetric
+    # (signatures and queries are different images), and the reference
+    # takes np.min(all_distances[not_same_row_mask, qid]) per qid
+    not_same_2nd_best = off.min(axis=0)
     mask = ~np.eye(n, dtype=bool)
     return {
         "same": same,
@@ -43,14 +47,18 @@ def separability_stats(dist_matrix: np.ndarray) -> dict[str, np.ndarray]:
     }
 
 
-def worst_same_pairs(dist_matrix: np.ndarray, k: int = 8) -> np.ndarray:
-    """Indices of the k same-pairs with the LARGEST distance — the failure
-    cases the reference saves as 'bucket' images (tracker.py:303-311).
-    Returns pair indices i (signature i <-> query i)."""
-    same = np.diag(np.asarray(dist_matrix))
-    k = min(k, len(same))
-    idx = np.argpartition(-same, k - 1)[:k]
-    return idx[np.argsort(-same[idx])]
+def closest_impostor_pairs(dist_matrix: np.ndarray, k: int = 8) -> np.ndarray:
+    """[k, 2] (signature_idx, query_idx) rows: the k NOT-SAME pairs with the
+    SMALLEST 2nd-best distance — different-identity pairs that collapsed
+    together, the failure cases the reference saves as 'bucket' images
+    (get_kmin over pids_2nd_best_pairs_df, tracker.py:303-311)."""
+    d = np.asarray(dist_matrix)
+    off = np.where(np.eye(d.shape[0], dtype=bool), np.inf, d)
+    second = off.min(axis=0)
+    sig = off.argmin(axis=0)
+    k = min(k, d.shape[0])
+    order = np.argsort(second)[:k]
+    return np.stack([sig[order], order], axis=1)
 
 
 def calc_separability(
@@ -66,13 +74,15 @@ def calc_separability(
     return_latents: bool = False,
 ):
     """Returns per-layer {'same', 'not_same', 'all_not_same', 'worst_pairs'}
-    (worst_pairs = indices of the largest same-pair distances, the
-    reference's "bucket" failure cases, tracker.py:303-311).
+    (worst_pairs = [k,2] (signature, query) indices of the closest
+    impostor pairs, the reference's "bucket" failure cases,
+    tracker.py:303-311).
 
     With ``return_latents`` also returns the paired latents so the caller
     can regenerate the worst pairs' images.
 
-    generate_fn: z [B,style_dim] -> images [-1,1] NHWC.
+    generate_fn: (z [B,style_dim], rng) -> images [-1,1] NHWC — a FRESH
+    injection-noise key per batch, like the reference's per-image noise.
     feature_fn: images -> per-layer feature list.
     dist_fn: (signatures, queries) -> [N,M] distance matrix (the criterion).
     """
@@ -81,7 +91,8 @@ def calc_separability(
 
     feats: list[list[np.ndarray]] = []
     for i in range(0, num_of_samples, batch_size):
-        imgs = generate_fn(latents[i : i + batch_size])
+        imgs = generate_fn(latents[i : i + batch_size],
+                           jax.random.fold_in(k_gen, i))
         fl = feature_fn(imgs)
         if last_layer_only:
             fl = [fl[-1]]
@@ -99,7 +110,7 @@ def calc_separability(
         qry = jnp.asarray(layer[1::2])
         d = np.asarray(dist_fn(sig, qry))
         st = separability_stats(d)
-        st["worst_pairs"] = worst_same_pairs(d)
+        st["worst_pairs"] = closest_impostor_pairs(d)
         results.append(st)
     if return_latents:
         return results, latents

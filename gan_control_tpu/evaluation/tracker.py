@@ -38,6 +38,7 @@ class Tracker:
         # monitor it never constructs (generator_trainer.py:732-733 would
         # crash if enabled); here it works.
         self._csv = csv_monitor
+        self._csv_fields: list[str] = []
         self.save_dir = Path(save_dir) if save_dir else None
         self.iter_times: deque[float] = deque(maxlen=rolling)
         self.min_iter_time = float("inf")
@@ -99,7 +100,10 @@ class Tracker:
     def register_fid(self, step: int, fid: float) -> bool:
         """Record an FID value; returns True when it is the best so far."""
         self.fid_history.append((step, fid))
-        is_best = fid < self.best_fid
+        # tie-INCLUSIVE like the reference (fids[-1] == fids.min(),
+        # tracker.py:343-347): a tied FID refreshes the best checkpoint at
+        # the newer step; also keeps this consistent with is_best_fid()
+        is_best = fid <= self.best_fid
         self.best_fid = min(self.best_fid, fid)
         self.evaluation_dict["fid"] = fid
         self.evaluation_dict["best_fid"] = self.best_fid
@@ -158,12 +162,24 @@ class Tracker:
                 import csv
 
                 path = self.save_dir / "monitor.csv"
+                # the header is the UNION of keys ever seen: when a new key
+                # appears (fid/separability steps) rewrite the file with the
+                # merged header so every row stays aligned with it
+                fields = sorted(set(self._csv_fields) | set(record))
+                if fields != self._csv_fields and path.exists():
+                    rows = list(csv.DictReader(open(path, newline="")))
+                    with open(path, "w", newline="") as f:
+                        w = csv.DictWriter(f, fieldnames=fields)
+                        w.writeheader()
+                        for r in rows:
+                            w.writerow({k: r.get(k, "") for k in fields})
+                self._csv_fields = fields
                 new = not path.exists()
                 with open(path, "a", newline="") as f:
-                    w = csv.DictWriter(f, fieldnames=sorted(record))
+                    w = csv.DictWriter(f, fieldnames=fields)
                     if new:
                         w.writeheader()
-                    w.writerow({k: record.get(k, "") for k in sorted(record)})
+                    w.writerow({k: record.get(k, "") for k in fields})
         if self._writer is not None:
             for k, v in record.items():
                 if isinstance(v, (int, float)) and k != "iter":

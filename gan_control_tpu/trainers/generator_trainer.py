@@ -563,20 +563,35 @@ class GeneratorTrainer:
         g_ema = self.state.g_ema
 
         # cached jitted program (params as traced args): a fresh closure per
-        # eval interval would recompile the synthesis graph every time
+        # eval interval would recompile the synthesis graph every time.
+        # Injection noise is a FRESH key per batch (the reference draws new
+        # noise per image); under 'same_for_same_id' the planes are drawn
+        # explicitly and shared even->odd within each evaluated pair
+        # (reference separability.py:16-20, 52-57 re_arrange_inject_noise).
         if not hasattr(self, "_separability_gen_fn"):
+            share_pairs = self.mc.get("g_noise_mode") == "same_for_same_id"
+
             @jax.jit
-            def _gen(gp, z):
+            def _gen(gp, z, rng):
+                noise = None
+                if share_pairs:
+                    noise = [
+                        jax.random.normal(jax.random.fold_in(rng, li), sh)
+                        for li, sh in enumerate(
+                            self.generator.noise_shapes(z.shape[0])
+                        )
+                    ]
+                    noise = [n.at[1::2].set(n[0::2]) for n in noise]
                 img, _ = self.generator.apply(
-                    gp, [z], rngs={"noise": jax.random.PRNGKey(0)}
+                    gp, [z], noise=noise, rngs={"noise": rng}
                 )
                 return img
 
             self._separability_gen_fn = _gen
         _gen = self._separability_gen_fn
 
-        def gen(z):
-            return _gen(g_ema, z)
+        def gen(z, rng):
+            return _gen(g_ema, z, rng)
 
         for al in self.attr_losses:
             if al.name not in losses:
@@ -598,12 +613,16 @@ class GeneratorTrainer:
             )
             self.tracker.register_separability(i, al.name, stats)
             if self.save_dir is not None:
-                # regenerate the worst same-pairs (largest shared-group
-                # distance) and save the "bucket" failure grid
-                # (reference tracker.py:303-311)
+                # regenerate the closest-impostor pairs (different
+                # identities whose 2nd-best distance collapsed — the
+                # reference's bucket pairs, tracker.py:303-311). worst_pairs
+                # rows are (signature_idx, query_idx): signatures live on
+                # even latent rows, queries on odd ones.
                 pairs = stats[-1]["worst_pairs"][:4]
-                rows = np.stack([r for p in pairs for r in (2 * p, 2 * p + 1)])
-                imgs = _gen(g_ema, latents[rows])
+                rows = np.stack(
+                    [r for sig, qry in pairs for r in (2 * sig, 2 * qry + 1)]
+                )
+                imgs = _gen(g_ema, latents[rows], jax.random.PRNGKey(i + 1))
                 imgs = jnp.clip(imgs * 0.5 + 0.5, 0.0, 1.0)
                 self.tracker.save_bucket_images(i, al.name, imgs)
 

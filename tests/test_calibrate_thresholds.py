@@ -27,8 +27,10 @@ def test_per_layer_same_not_same_math():
     sig, qry = feats[::2], feats[1::2]
     d = ((sig[:, None] - qry[None, :]) ** 2).sum(-1)
     np.testing.assert_allclose(s["same"], np.diag(d), rtol=1e-5)
-    off = d[~np.eye(6, dtype=bool)].reshape(6, -1)
-    np.testing.assert_allclose(s["not_same"], off.min(axis=1), rtol=1e-5)
+    # per-QUERY 2nd-best: min over signatures (axis 0; reference
+    # loss_model.py:218-227)
+    off = np.where(np.eye(6, dtype=bool), np.inf, d)
+    np.testing.assert_allclose(s["not_same"], off.min(axis=0), rtol=1e-5)
     assert len(s["all_not_same"]) == 30
 
 

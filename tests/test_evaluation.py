@@ -38,7 +38,9 @@ def test_separability_stats_oracle():
     d = np.array([[0.1, 5.0, 3.0], [4.0, 0.2, 6.0], [2.5, 7.0, 0.3]])
     st = separability_stats(d)
     np.testing.assert_allclose(st["same"], [0.1, 0.2, 0.3])
-    np.testing.assert_allclose(st["not_same"], [3.0, 4.0, 2.5])  # row-min off-diag
+    # per-QUERY 2nd-best: min over signatures (column-min of off-diagonals;
+    # reference loss_model.py:218-227 iterates qid and mins over axis 0)
+    np.testing.assert_allclose(st["not_same"], [2.5, 5.0, 3.0])
     assert st["all_not_same"].shape == (6,)
 
 
@@ -93,12 +95,22 @@ def test_inception_feature_shape():
     assert np.all(np.isfinite(np.asarray(feats)))
 
 
-def test_worst_same_pairs():
-    from gan_control_tpu.evaluation.separability import worst_same_pairs
+def test_closest_impostor_pairs():
+    """Bucket pairs = the k not-same pairs with the SMALLEST 2nd-best
+    distance (reference get_kmin over pids_2nd_best_pairs_df,
+    tracker.py:303-311): closest impostors, (signature, query) rows."""
+    from gan_control_tpu.evaluation.separability import closest_impostor_pairs
 
-    d = np.diag([0.1, 0.9, 0.5, 0.7])
-    idx = worst_same_pairs(d, k=2)
-    np.testing.assert_array_equal(idx, [1, 3])
+    d = np.array([
+        [0.1, 9.0, 0.4, 9.0],
+        [0.2, 0.1, 9.0, 9.0],
+        [9.0, 9.0, 0.1, 1.5],
+        [9.0, 9.0, 9.0, 0.1],
+    ])
+    pairs = closest_impostor_pairs(d, k=2)
+    # query 0's closest impostor is signature 1 (0.2); query 2's is
+    # signature 0 (0.4)
+    np.testing.assert_array_equal(pairs, [[1, 0], [0, 2]])
 
 
 def test_disentanglement_scores_synthetic():
