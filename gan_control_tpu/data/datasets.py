@@ -47,7 +47,6 @@ class ImageFolderDataset:
         size: int,
         hflip: bool = True,
         random_resized_crop_p: float = 0.0,
-        seed: int = 0,
     ):
         if Image is None:
             raise RuntimeError("PIL is required for image datasets")
@@ -57,7 +56,6 @@ class ImageFolderDataset:
         self.size = size
         self.hflip = hflip
         self.rrc_p = random_resized_crop_p
-        self._rng = np.random.default_rng(seed)
 
     def __len__(self):
         return len(self.paths)
@@ -65,12 +63,26 @@ class ImageFolderDataset:
     def load(self, idx: int, rng: np.random.Generator) -> np.ndarray:
         img = Image.open(self.paths[idx]).convert("RGB")
         if self.rrc_p > 0 and rng.random() < self.rrc_p:
+            # torchvision RandomResizedCrop(scale=(0.8,1.0), ratio=(0.9,1.1))
+            # sampling (the reference's AFHQ augment, afhq_dataset.py):
+            # AREA fraction uniform in scale, aspect LOG-uniform in ratio,
+            # up to 10 attempts then a center-crop fallback
             w, h = img.size
-            scale = rng.uniform(0.8, 1.0)
-            cw, ch = int(w * scale), int(h * scale)
-            x0 = rng.integers(0, w - cw + 1)
-            y0 = rng.integers(0, h - ch + 1)
-            img = img.crop((x0, y0, x0 + cw, y0 + ch))
+            area = w * h
+            for _ in range(10):
+                target_area = area * rng.uniform(0.8, 1.0)
+                aspect = np.exp(rng.uniform(np.log(0.9), np.log(1.1)))
+                cw = int(round(np.sqrt(target_area * aspect)))
+                ch = int(round(np.sqrt(target_area / aspect)))
+                if 0 < cw <= w and 0 < ch <= h:
+                    x0 = rng.integers(0, w - cw + 1)
+                    y0 = rng.integers(0, h - ch + 1)
+                    img = img.crop((x0, y0, x0 + cw, y0 + ch))
+                    break
+            else:
+                side = min(w, h)
+                x0, y0 = (w - side) // 2, (h - side) // 2
+                img = img.crop((x0, y0, x0 + side, y0 + side))
         if img.size != (self.size, self.size):
             img = img.resize((self.size, self.size), Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 127.5 - 1.0  # HWC in [-1,1]
@@ -96,6 +108,12 @@ def infinite_loader(
         rngs = [np.random.default_rng((batch_seed, int(i))) for i in indices]
         imgs = list(pool.map(dataset.load, indices, rngs))
         return np.stack(imgs, axis=0)
+
+    if len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} images < batch_size {batch_size}: "
+            f"the epoch loop would never yield a batch"
+        )
 
     def producer():
         epoch = 0
@@ -164,8 +182,16 @@ def get_data_loader(
     generator_trainer.py:205-216). Prefers the native C++ decode pipeline
     (native/gcdata.cpp) when built and the dataset is JPEG/PNG."""
     name = data_config.get("data_set_name", "ffhq")
-    if name == "synthetic" or not os.path.isdir(str(data_config.get("path", ""))):
+    if name == "synthetic":
         return synthetic_data_loader(batch_size, size, seed)
+    if not os.path.isdir(str(data_config.get("path", ""))):
+        # NEVER fall back silently: training the discriminator against
+        # Gaussian noise because of a typo'd path burns hours producing
+        # garbage (the reference raises here too)
+        raise FileNotFoundError(
+            f"data_config.path {data_config.get('path')!r} is not a "
+            f"directory; set data_set_name='synthetic' for smoke runs"
+        )
 
     if data_config.get("native", True):
         from gan_control_tpu.data import native_loader as nl

@@ -119,7 +119,14 @@ def build_attr_losses(
 
         if loss_name == "recon_3d_loss":
             # one shared skeleton forward; per-sub-feature contrastive heads
-            # (reference generator_trainer.py:473-517)
+            # (reference generator_trainer.py:473-517). The shared forward
+            # runs ONCE per g_step (train_step's share_key machinery) — the
+            # sub-losses slice its [B,257] vector; feature_fn stays as the
+            # standalone per-loss path (separability eval).
+            def shared_recon_forward(pp, images, m=model, fmod=mod):
+                with predictor_precision_ctx(prec_cfg, fallback="default"):
+                    return fmod.features(m, pp, images)[-1]
+
             for sub in RECON_SUB_LOSSES:
                 sub_block = block.get(f"{sub}_loss")
                 if not isinstance(sub_block, dict) or not sub_block.get("enabled"):
@@ -142,6 +149,10 @@ def build_attr_losses(
                         feature_fn=make_feature_fn(),
                         dist_fn=mod.last_layer_dist,
                         pair_dist_fn=pairwise_l1,
+                        share_key="recon_3d_loss",
+                        shared_forward_fn=shared_recon_forward,
+                        extract_fn=(lambda vec, fmod=mod, which=sub:
+                                    [fmod.extract_feature(vec, which)]),
                     )
                 )
             continue

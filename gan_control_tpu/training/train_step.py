@@ -79,6 +79,16 @@ class AttributeLossSpec:
     # cross-set variant d(signatures, queries) for separability evaluation;
     # defaults to None (evaluator falls back to squared-L2)
     pair_dist_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None
+    # SHARED skeleton forward (the recon-3d sub-losses all read one R-Net
+    # vector, reference generator_trainer.py:473-517): specs carrying the
+    # same share_key run shared_forward_fn ONCE per step and slice it with
+    # extract_fn — without this each sub-loss would trace its own full
+    # R-Net forward (and remat re-forward) on identical inputs, which XLA
+    # cannot CSE across jax.checkpoint boundaries. feature_fn stays as the
+    # standalone path (separability eval).
+    share_key: str | None = None
+    shared_forward_fn: Callable[[Any, jax.Array], Any] | None = None
+    extract_fn: Callable[[Any], Sequence[jax.Array]] | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,30 +145,47 @@ def _attr_losses_for_batch(
     # a bf16 generator hands the battery full-precision images
     images = images.astype(jnp.float32)
     mb = images.shape[0] // num_mini
+
+    def chunked_contrastive(feats, arr, al):
+        loss_al = jnp.zeros((), jnp.float32)
+        for k in range(num_mini):
+            chunk = [f[k * mb : (k + 1) * mb] for f in feats]
+            if arr is not None:
+                loss_al = loss_al + contrastive_loss_masked(
+                    al.cfg, chunk, al.dist_fn,
+                    arr.same_pair_masks[al.group],
+                    arr.not_same_pair_masks[al.group],
+                )
+            else:
+                same, not_same = zip(
+                    *(same_not_same_split(spec, f, al.group) for f in chunk)
+                )
+                loss_al = loss_al + contrastive_loss(
+                    al.cfg, same, not_same, al.dist_fn
+                )
+        return loss_al / num_mini
+
+    # shared skeleton forwards: ONE (checkpointed) run per share_key; the
+    # sub-losses slice its output (reference calc_pose_losses runs
+    # calc_features once and splits, generator_trainer.py:473-517)
+    shared: dict[str, Any] = {}
     for al in attr_losses:
+        if al.share_key is not None and al.share_key not in shared:
+            fwd = jax.checkpoint(al.shared_forward_fn) if remat \
+                else al.shared_forward_fn
+            shared[al.share_key] = fwd(predictor_params[al.name], images)
 
-        def one_loss(pp, imgs, arr, al=al):
-            feats = al.feature_fn(pp, imgs)
-            loss_al = jnp.zeros((), jnp.float32)
-            for k in range(num_mini):
-                chunk = [f[k * mb : (k + 1) * mb] for f in feats]
-                if arr is not None:
-                    loss_al = loss_al + contrastive_loss_masked(
-                        al.cfg, chunk, al.dist_fn,
-                        arr.same_pair_masks[al.group],
-                        arr.not_same_pair_masks[al.group],
-                    )
-                else:
-                    same, not_same = zip(
-                        *(same_not_same_split(spec, f, al.group) for f in chunk)
-                    )
-                    loss_al = loss_al + contrastive_loss(
-                        al.cfg, same, not_same, al.dist_fn
-                    )
-            return loss_al / num_mini
+    for al in attr_losses:
+        if al.share_key is not None:
+            loss_al = chunked_contrastive(
+                al.extract_fn(shared[al.share_key]), arrangement, al
+            )
+        else:
+            def one_loss(pp, imgs, arr, al=al):
+                return chunked_contrastive(al.feature_fn(pp, imgs), arr, al)
 
-        fn = jax.checkpoint(one_loss) if remat else one_loss
-        loss_al = fn(predictor_params[al.name], images, arrangement)
+            fn = jax.checkpoint(one_loss) if remat else one_loss
+            loss_al = fn(predictor_params[al.name], images, arrangement)
         metrics[f"g_{al.name}"] = loss_al
         total = total + loss_al
     return total, metrics
@@ -173,7 +200,6 @@ def make_train_steps(
     g_tx: optax.GradientTransformation | None = None,
     d_tx: optax.GradientTransformation | None = None,
     augment_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array] | None = None,
-    shared_feature_fns: Mapping[str, Callable] | None = None,
     generator_reg=None,
     discriminator_reg=None,
 ):

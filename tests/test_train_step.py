@@ -433,3 +433,45 @@ def test_g_reg_step_style_mixing(setup):
         assert np.isfinite(float(m["g_path_loss"]))
     # the second style must influence the statistic
     assert float(m_mixed["g_path_length"]) != float(m_single["g_path_length"])
+
+
+def test_shared_forward_runs_once(setup):
+    """Specs sharing a share_key run ONE skeleton forward per g_step (the
+    reference's calc_pose_losses computes recon-3d features once and
+    slices, generator_trainer.py:473-517); each sub-loss slices it."""
+    spec, gen, disc, steps, state = setup
+    calls = {"n": 0}
+
+    def shared_fwd(pp, imgs):
+        calls["n"] += 1  # trace-time counter
+        return jnp.mean(imgs, axis=(1, 2))  # [B, 3]
+
+    def sub_spec(name, col):
+        return AttributeLossSpec(
+            name=name, group="id",
+            cfg=ContrastiveConfig(
+                intermediate_weights=(), last_layer_weight=1.0,
+                lower_thres=(), upper_thres=(),
+                last_lower_thres=0.1, last_upper_thres=1.0,
+                focus_on=("same_as_last_layer",),
+            ),
+            feature_fn=lambda pp, x, c=col: [jnp.mean(x, axis=(1, 2))[:, c:c + 1]],
+            dist_fn=pairwise_sq_l2,
+            share_key="recon",
+            shared_forward_fn=shared_fwd,
+            extract_fn=lambda vec, c=col: [vec[:, c:c + 1]],
+        )
+
+    tc = {"lr_g": 2e-3, "lr_d": 2e-3, "g_reg_every": 4, "d_reg_every": 16}
+    g_tx, d_tx = make_gan_optimizers(tc)
+    cfg = TrainStepConfig(batch=BATCH, mini_batch=BATCH, style_dim=STYLE,
+                          remat_predictors=True)
+    attr = (sub_spec("recon_a", 0), sub_spec("recon_b", 1))
+    steps2 = make_train_steps(gen, disc, cfg, spec=spec, attr_losses=attr,
+                              g_tx=g_tx, d_tx=d_tx)
+    z = jax.random.normal(jax.random.PRNGKey(5), (BATCH, STYLE))
+    pred_params = {"recon_a": {}, "recon_b": {}}
+    _, m = jax.jit(steps2["g_step"])(state, (z,), pred_params)
+    assert calls["n"] == 1, f"shared forward traced {calls['n']} times"
+    assert np.isfinite(float(m["g_recon_a"])) and np.isfinite(float(m["g_recon_b"]))
+    assert float(m["g_recon_a"]) != float(m["g_recon_b"])
