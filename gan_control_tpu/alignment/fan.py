@@ -129,12 +129,43 @@ def decode_heatmaps(heatmaps: np.ndarray) -> np.ndarray:
     return coords + 0.5
 
 
+def box_to_center_scale(box, reference_scale: float = 195.0):
+    """Detector box -> (center, scale) exactly like the reference pipeline
+    (api.py: center.y -= 0.12*box_h; scale = (w+h)/reference_scale, with
+    SFD's reference_scale=195)."""
+    x1, y1, x2, y2 = [float(v) for v in box]
+    center = np.array([(x1 + x2) / 2.0, (y1 + y2) / 2.0 - (y2 - y1) * 0.12])
+    scale = ((x2 - x1) + (y2 - y1)) / reference_scale
+    return center, scale
+
+
+def _transform_pt(point, center, scale, resolution: float,
+                  invert: bool = False) -> np.ndarray:
+    """The reference's affine transform between original-image space and
+    the crop/heatmap space (face_alignment/utils.transform), including its
+    integer truncation of the result."""
+    h = 200.0 * scale
+    if invert:
+        x = point[0] * h / resolution + center[0] - h / 2.0
+        y = point[1] * h / resolution + center[1] - h / 2.0
+    else:
+        x = point[0] * resolution / h + resolution * (-center[0] / h + 0.5)
+        y = point[1] * resolution / h + resolution * (-center[1] / h + 0.5)
+    return np.array([int(x), int(y)], np.int64)
+
+
 class FAN:
     """Inference wrapper: images -> 68 2-D landmarks in image pixels.
 
-    Without a face detector the centered-face assumption of generator
-    output is used (whole image as the face box) — appropriate for the
-    phase-2a pipeline where every image IS a centered face."""
+    Reproduces the reference crop geometry (face_alignment/api.py +
+    utils.crop): the face box maps to (center, scale) with a 0.12*h upward
+    shift and scale=(w+h)/195, the 256-crop spans 200*scale original
+    pixels around the center (zero-padded outside the frame), and the
+    64-space heatmap peaks map back through the inverse transform. Without
+    a detector the WHOLE image is the box — the centered-face assumption
+    of generator output (phase-2a), which in the reference geometry means
+    a ~2.05x zoomed-out, 0.12-shifted window, NOT a bare full-frame
+    resize."""
 
     def __init__(self, num_modules: int = 4):
         self.module = FANNet(num_modules=num_modules)
@@ -143,17 +174,55 @@ class FAN:
     def init_params(self, rng):
         return self.module.init(rng, jnp.zeros((1, 256, 256, 3)))
 
-    def get_landmarks(self, params, images: jax.Array) -> np.ndarray:
-        """images [-1,1] NHWC any square size -> [B,68,2] pixel coords."""
-        size = images.shape[1]
-        x = images * 0.5 + 0.5
-        if size != 256:
-            x = resize_bilinear(x, (256, 256), align_corners=False)
+    def _crop(self, x01: np.ndarray, center, scale) -> jax.Array:
+        """utils.crop for a batch sharing one (center, scale): zero-padded
+        window [ul, br) resized to 256 (cv2 INTER_LINEAR ==
+        align_corners=False bilinear)."""
+        b, ht, wd, c = x01.shape
+        ul = _transform_pt([1, 1], center, scale, 256.0, invert=True)
+        br = _transform_pt([256, 256], center, scale, 256.0, invert=True)
+        canvas = np.zeros((b, br[1] - ul[1], br[0] - ul[0], c), x01.dtype)
+        new_x = (max(1, -ul[0] + 1), min(br[0], wd) - ul[0])
+        new_y = (max(1, -ul[1] + 1), min(br[1], ht) - ul[1])
+        old_x = (max(1, ul[0] + 1), min(br[0], wd))
+        old_y = (max(1, ul[1] + 1), min(br[1], ht))
+        canvas[:, new_y[0] - 1:new_y[1], new_x[0] - 1:new_x[1]] = \
+            x01[:, old_y[0] - 1:old_y[1], old_x[0] - 1:old_x[1]]
+        return resize_bilinear(jnp.asarray(canvas), (256, 256),
+                               align_corners=False)
+
+    def get_landmarks(self, params, images: jax.Array,
+                      boxes=None) -> np.ndarray:
+        """images [-1,1] NHWC -> [B,68,2] pixel coords (original frame).
+
+        ``boxes``: optional per-image (x1,y1,x2,y2) detector boxes; None =
+        whole-image box per image."""
         if self._jit is None:
             self._jit = jax.jit(lambda p, v: self.module.apply(p, v)[-1])
-        hm = self._jit(params, x)
-        coords = decode_heatmaps(np.asarray(hm))  # 64x64 space
-        return coords * (size / 64.0)
+        x01 = np.asarray(images * 0.5 + 0.5)
+        b, ht, wd = x01.shape[0], x01.shape[1], x01.shape[2]
+
+        if boxes is None:
+            center, scale = box_to_center_scale((0.0, 0.0, wd, ht))
+            crop = self._crop(x01, center, scale)
+            hm = self._jit(params, crop)
+            coords = decode_heatmaps(np.asarray(hm))  # 64-space, float
+            h200 = 200.0 * scale
+            out = coords * (h200 / 64.0) + np.asarray(center) - h200 / 2.0
+            # the reference's transform truncates to int per landmark
+            return np.floor(out).astype(np.float32)
+
+        out = np.zeros((b, 68, 2), np.float32)
+        for i, box in enumerate(boxes):
+            center, scale = box_to_center_scale(box)
+            crop = self._crop(x01[i:i + 1], center, scale)
+            hm = self._jit(params, crop)
+            coords = decode_heatmaps(np.asarray(hm))[0]
+            h200 = 200.0 * scale
+            out[i] = np.floor(
+                coords * (h200 / 64.0) + np.asarray(center) - h200 / 2.0
+            )
+        return out
 
 
 def convert_torch_weights(path: str, num_modules: int = 4):
@@ -163,7 +232,12 @@ def convert_torch_weights(path: str, num_modules: int = 4):
     from gan_control_tpu.losses.predictors.resnet import bn_params, conv_w
 
     sd = torch.load(path, map_location="cpu")
-    if not isinstance(sd, dict) or "conv1.weight" not in sd:
+    if not isinstance(sd, dict):
+        raise ValueError(
+            f"unsupported FAN checkpoint at {path!r}: expected a state_dict "
+            f"(got {type(sd).__name__})"
+        )
+    if "conv1.weight" not in sd:
         sd = sd.get("state_dict", sd)
 
     def convblock(prefix):

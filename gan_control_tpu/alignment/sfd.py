@@ -157,7 +157,10 @@ class SFDDetector:
 
     def detect(self, images_rgb_u8: np.ndarray) -> list[np.ndarray]:
         """images: [B,H,W,3] uint8/float RGB in [0,255]."""
-        x = jnp.asarray(images_rgb_u8, jnp.float32) - BGR_MEANS
+        # the reference flips RGB->BGR BEFORE detection (api.py:140
+        # detect_from_image(image[..., ::-1])) and THEN subtracts the
+        # Caffe BGR means — the converted s3fd weights expect BGR input
+        x = jnp.asarray(images_rgb_u8, jnp.float32)[..., ::-1] - BGR_MEANS
         heads = self._jit(self.params, x)
         heads = [(np.asarray(c), np.asarray(r)) for c, r in heads]
         out = []

@@ -106,6 +106,7 @@ def project(
     rng: jax.Array,
     steps: int = 1000,
     initial_lr: float = 0.1,
+    latent_std: float | jax.Array = 1.0,
     noise_strength_base: float = 0.05,
     noise_ramp: float = 0.75,
     noise_regularize_w: float = 1e5,
@@ -114,17 +115,26 @@ def project(
     """Optimize (w+, injection noises) to reconstruct `target` ([-1,1] NHWC).
 
     synth_fn(latent, noises) -> image. Returns (latent, noises, history).
+
+    ``latent_std``: the w-space std from :func:`get_avg_latent` — the
+    reference's exploration noise is latent_std * 0.05 * ramp^2 (its
+    projector loop), so pass it for parity; the default 1.0 gives much
+    weaker exploration.
     """
     k_n, rng = jax.random.split(rng)
     noises = [
         jax.random.normal(jax.random.fold_in(k_n, i), s) for i, s in enumerate(noise_shapes)
     ]
     params = {"latent": latent_init, "noises": noises}
-    opt = optax.adam(initial_lr)
+    # the cosine lr schedule must scale the UPDATE, not the gradient:
+    # Adam's m/sqrt(v) is invariant to a (slowly varying) gradient scale,
+    # so scaling grads would nullify the ramp (the reference sets
+    # param_groups[0]['lr'] = get_lr(t, lr) each step)
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=initial_lr)
     opt_state = opt.init(params)
 
     @jax.jit
-    def step_fn(params, opt_state, lr_scale, noise_strength, key):
+    def step_fn(params, opt_state, lr, noise_strength, key):
         def loss_fn(p):
             latent_n = latent_noise(key, p["latent"], noise_strength)
             img = synth_fn(latent_n, p["noises"])
@@ -141,8 +151,8 @@ def project(
             return total, (p_loss, n_loss, mse)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        scaled = jax.tree_util.tree_map(lambda g: g * lr_scale, grads)
-        updates, new_opt = opt.update(scaled, opt_state, params)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = opt.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_params["noises"] = noise_normalize(new_params["noises"])
         return new_params, new_opt, loss, aux
@@ -150,11 +160,13 @@ def project(
     history = []
     for i in range(steps):
         t = i / steps
-        lr_scale = get_lr(t, 1.0)
-        noise_strength = noise_strength_base * max(0.0, 1.0 - t / noise_ramp) ** 2
+        lr = get_lr(t, initial_lr)
+        noise_strength = (
+            latent_std * noise_strength_base * max(0.0, 1.0 - t / noise_ramp) ** 2
+        )
         rng, key = jax.random.split(rng)
         params, opt_state, loss, aux = step_fn(
-            params, opt_state, lr_scale, noise_strength, key
+            params, opt_state, lr, noise_strength, key
         )
         if i % 50 == 0:
             history.append(

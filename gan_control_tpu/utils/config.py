@@ -24,7 +24,10 @@ from typing import Any, Mapping
 
 
 class ConfigObj:
-    """Attribute + item access over nested dicts; missing keys -> None."""
+    """Attribute + item access over nested dicts. Missing keys RAISE
+    AttributeError like the reference's DefaultObj (file_utils.py:9-19,
+    which sets __dict__ = dict) — returning None would silently mask
+    config typos flowing into arithmetic/conditionals."""
 
     def __init__(self, d: Mapping[str, Any]):
         self._d = dict(d)
@@ -32,7 +35,11 @@ class ConfigObj:
     def __getattr__(self, key):
         if key.startswith("_"):
             raise AttributeError(key)
-        v = self._d.get(key)
+        if key not in self._d:
+            raise AttributeError(
+                f"config has no key {key!r} (have {sorted(self._d)[:12]}...)"
+            )
+        v = self._d[key]
         return ConfigObj(v) if isinstance(v, dict) else v
 
     def __getitem__(self, key):
@@ -65,36 +72,46 @@ def write_json(d: Mapping[str, Any], path: str | Path):
         json.dump(d, f, indent=2)
 
 
-_LOSS_SHORT_NAMES = {
-    "embedding_loss": "emb",
-    "orientation_loss": "orient",
-    "expression_loss": "exp",
-    "age_loss": "age",
-    "hair_loss": "hair",
-    "recon_3d_loss": "r3d",
-    "style_loss": "style",
-    "dog_id_loss": "dog",
-    "classification_loss": "cls",
-}
 
 
 def add_weight_to_name(save_name: str, training_config: Mapping[str, Any]) -> str:
-    """Append enabled-loss last-layer weights to the experiment name
-    (reference generator_trainer.py:867-903 semantics: the run name encodes
-    which losses were on and at what weight)."""
-    parts = [save_name]
-    for loss, short in _LOSS_SHORT_NAMES.items():
-        blk = training_config.get(loss)
+    """Reference-exact run-name mangling (generator_trainer.py:867-903):
+    sorted ``*_loss`` keys (recon_3d expanding its sorted sub-losses),
+    fragment = same_group_name[:3] + dot-stripped last_layer_weight
+    (0.5 -> '05', 2 -> '2', 1.5 --> '15'), fragments concatenated with NO
+    separator, then '_' + save_name appended at the END — so run dirs
+    match reference-produced names."""
+
+    def weight_str(w) -> str:
+        if w < 1:
+            return "0" + str(w).split(".")[-1]
+        if int(w) == w:
+            return "%d" % int(w)
+        a, b = str(w).split(".")
+        return a + b
+
+    def fragment(blk: Mapping[str, Any]) -> str:
+        return blk["same_group_name"][:3] + weight_str(blk["last_layer_weight"])
+
+    name = ""
+    for key in sorted(training_config):
+        if key.split("_")[-1] != "loss":
+            continue
+        blk = training_config[key]
         if not isinstance(blk, dict) or not blk.get("enabled"):
             continue
-        w = blk.get("last_layer_weight")
-        parts.append(f"{short}{w:g}" if isinstance(w, (int, float)) else short)
-        if loss == "recon_3d_loss":
-            for sub in ("id", "ex", "tex", "angles", "gamma", "xy", "z"):
-                sb = blk.get(f"{sub}_loss")
+        if key == "recon_3d_loss":
+            for key3d in sorted(blk):
+                if key3d.split("_")[-1] != "loss":
+                    continue
+                sb = blk[key3d]
                 if isinstance(sb, dict) and sb.get("enabled"):
-                    parts.append(f"{sub}{sb.get('last_layer_weight'):g}")
-    return "_".join(parts)
+                    name += fragment(sb)
+        else:
+            name += fragment(blk)
+    if save_name:
+        name = name + "_" + save_name
+    return name
 
 
 def make_save_dir(

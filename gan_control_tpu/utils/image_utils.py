@@ -48,9 +48,11 @@ def draw_axis_on_image(img_u8: np.ndarray, yaw: float, pitch: float, roll: float
     y2 = size * (math.cos(p) * math.cos(r) - math.sin(p) * math.sin(y) * math.sin(r)) + cy
     x3 = size * math.sin(y) + cx
     y3 = size * (-math.cos(y) * math.sin(p)) + cy
-    d.line([(cx, cy), (x1, y1)], fill=(255, 0, 0), width=2)
+    # reference colors (hopenet_utils.draw_axis:138-140, PIL RGB): the X
+    # axis line is BLUE, Y green, Z red — matching for side-by-side parity
+    d.line([(cx, cy), (x1, y1)], fill=(0, 0, 255), width=2)
     d.line([(cx, cy), (x2, y2)], fill=(0, 255, 0), width=2)
-    d.line([(cx, cy), (x3, y3)], fill=(0, 0, 255), width=2)
+    d.line([(cx, cy), (x3, y3)], fill=(255, 0, 0), width=2)
     return np.asarray(im)
 
 

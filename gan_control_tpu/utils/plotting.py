@@ -29,12 +29,21 @@ def plot_hist(
     """Overlaid histograms + optional percentile vlines (reference
     plot_hist semantics)."""
     fig, ax = plt.subplots(figsize=(8, 5))
+    # limits RESTRICT the binning range (out-of-range mass is dropped) and
+    # percentiles come from the RAW series — the reference passes plt_range
+    # to hist and quantiles the unclipped data; clipping would pile mass
+    # into edge bins and report out-of-range quantiles at the clip bound
+    rng = None
+    if min_lim is not None or max_lim is not None:
+        lo = min_lim if min_lim is not None else min(
+            float(np.asarray(a).min()) for a in arrays)
+        hi = max_lim if max_lim is not None else max(
+            float(np.asarray(a).max()) for a in arrays)
+        rng = (lo, hi)
     for i, arr in enumerate(arrays):
         arr = np.asarray(arr).ravel()
-        if min_lim is not None or max_lim is not None:
-            arr = np.clip(arr, min_lim, max_lim)
         label = labels[i] if labels else None
-        ax.hist(arr, bins=bins, alpha=0.5, density=True, label=label)
+        ax.hist(arr, bins=bins, range=rng, alpha=0.5, density=True, label=label)
         for p in percentiles:
             ax.axvline(np.quantile(arr, p), linestyle="--", linewidth=0.8)
     ax.set_title(title)
