@@ -4,7 +4,14 @@ The native backend replaces the reference's torch-DataLoader worker pool
 (ffhq_dataset.py 'workers': 32) with a C++ thread pool doing JPEG/PNG
 decode + random-resized-crop + bilinear resize + flip + [-1,1] normalization,
 handing ready NHWC float32 batches to ``jax.device_put``. Falls back
-gracefully when the .so has not been built (``make -C native``)."""
+gracefully when the .so has not been built (``make -C native``).
+
+NOTE on resize parity: the native resampler is torch
+F.interpolate-style 4-tap bilinear (tested against a torch oracle);
+the Python fallback uses PIL BILINEAR, which antialiases on
+downscale — for large downscales (1024 -> 256) the two backends
+produce different pixel statistics. Pick one backend per run.
+"""
 
 from __future__ import annotations
 
@@ -27,8 +34,10 @@ _log = get_logger(__name__)
 _MIN_ABI = 3
 
 _LIB_PATHS = [
-    Path(__file__).resolve().parents[2] / "native" / "libgcdata.so",
+    # the env override comes FIRST so a debug/patched build can shadow the
+    # in-tree library
     Path(os.environ.get("GCDATA_LIB", "")),
+    Path(__file__).resolve().parents[2] / "native" / "libgcdata.so",
 ]
 
 _lib = None
@@ -40,7 +49,14 @@ def load_library():
         return _lib
     for p in _LIB_PATHS:
         if p and p.is_file():
-            lib = ctypes.CDLL(str(p))
+            try:
+                lib = ctypes.CDLL(str(p))
+            except OSError as e:
+                # corrupt / wrong-arch .so: fall through to the next
+                # candidate (and ultimately the Python loader) instead of
+                # crashing startup
+                _log.warning("cannot load %s (%s) — skipping", p, e)
+                continue
             if not hasattr(lib, "gc_abi_version"):
                 _log.warning(
                     "%s predates the supported native ABI — rebuild with "

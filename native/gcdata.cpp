@@ -62,6 +62,13 @@ bool decode_jpeg(FILE* f, std::vector<uint8_t>* rgb, int* w, int* h) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  // corrupt/crafted headers can claim up to 65500x65500 (12.9 GB): bound
+  // before allocating instead of letting bad_alloc escape the worker
+  if (cinfo.image_width == 0 || cinfo.image_height == 0 ||
+      size_t(cinfo.image_width) * cinfo.image_height > 100u * 1000 * 1000) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
@@ -71,8 +78,12 @@ bool decode_jpeg(FILE* f, std::vector<uint8_t>* rgb, int* w, int* h) {
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg turns a mid-file EOF into a WARNING plus a fake EOI and
+  // returns "success" with the tail gray-filled — treat any warning as a
+  // decode failure (the PIL fallback raises on the same file)
+  const bool clean = jerr.pub.num_warnings == 0;
   jpeg_destroy_decompress(&cinfo);
-  return true;
+  return clean;
 }
 
 // Decode an already-open PNG stream (positioned at offset 0) to RGB8
@@ -110,6 +121,14 @@ bool decode_png(FILE* f, std::vector<uint8_t>* rgb, int* w, int* h) {
   png_set_strip_alpha(png);
   png_read_update_info(png, info);
   if (png_get_rowbytes(png, info) != size_t(width) * 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  if (width == 0 || height == 0 ||
+      size_t(width) * height > 100u * 1000 * 1000) {
+    // a crafted IHDR within libpng's default 1M-px-side limit could claim
+    // terabytes: bound before allocating (bad_alloc would bypass
+    // png_destroy_read_struct and kill the worker thread -> process)
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
@@ -210,23 +229,55 @@ struct Loader {
     std::uniform_real_distribution<float> uni(0.0f, 1.0f);
     const size_t img_floats = size_t(size) * size * 3;
     std::vector<uint8_t> rgb;
+    // per-worker epoch permutation (no replacement within an epoch — the
+    // torch DataLoader shuffle semantics the Python fallback also keeps;
+    // batches may span an epoch boundary so datasets smaller than batch
+    // still stream)
+    std::vector<size_t> perm(paths.size());
+    for (size_t i = 0; i < perm.size(); ++i) perm[i] = i;
+    std::shuffle(perm.begin(), perm.end(), rng);
+    size_t cursor = 0;
     while (!stop.load()) {
       Batch out;
       out.buf.assign(img_floats * batch, 0.0f);
       for (int b = 0; b < batch; ++b) {
-        // sample-with-replacement shuffle (infinite stream semantics)
         bool filled = false;
         for (int attempt = 0; attempt < 16; ++attempt) {
-          const std::string& p = paths[rng() % paths.size()];
+          if (cursor == perm.size()) {
+            std::shuffle(perm.begin(), perm.end(), rng);
+            cursor = 0;
+          }
+          const std::string& p = paths[perm[cursor++]];
           int w, h;
           if (!decode_image(p, &rgb, &w, &h)) continue;
           int sx0 = 0, sy0 = 0, sw = w, sh = h;
           if (rrc_p > 0 && uni(rng) < rrc_p) {
-            float scale = 0.8f + 0.2f * uni(rng);
-            sw = int(w * scale);
-            sh = int(h * scale);
-            sx0 = int((w - sw) * uni(rng));
-            sy0 = int((h - sh) * uni(rng));
+            // torchvision RandomResizedCrop(scale=(0.8,1.0),
+            // ratio=(0.9,1.1)): AREA fraction uniform, aspect log-uniform,
+            // 10 attempts then center-crop fallback; offsets inclusive
+            bool cropped = false;
+            for (int tryi = 0; tryi < 10; ++tryi) {
+              float target_area = float(w) * h * (0.8f + 0.2f * uni(rng));
+              float aspect = std::exp(std::log(0.9f) +
+                                      (std::log(1.1f) - std::log(0.9f)) *
+                                          uni(rng));
+              int cw = int(std::lround(std::sqrt(target_area * aspect)));
+              int ch = int(std::lround(std::sqrt(target_area / aspect)));
+              if (cw > 0 && ch > 0 && cw <= w && ch <= h) {
+                sw = cw;
+                sh = ch;
+                sx0 = int(rng() % uint64_t(w - cw + 1));
+                sy0 = int(rng() % uint64_t(h - ch + 1));
+                cropped = true;
+                break;
+              }
+            }
+            if (!cropped) {
+              int side = std::min(w, h);
+              sw = sh = side;
+              sx0 = (w - side) / 2;
+              sy0 = (h - side) / 2;
+            }
           }
           bool mirror = hflip && uni(rng) < 0.5f;
           resize_normalize(rgb.data(), w, h, sx0, sy0, sw, sh, size, mirror,
@@ -292,7 +343,13 @@ int gc_loader_next(void* handle, float* out) {
 
 void gc_loader_destroy(void* handle) {
   auto* ld = static_cast<Loader*>(handle);
-  ld->stop.store(true);
+  {
+    // stop must be published UNDER the mutex: a worker that just evaluated
+    // its wait predicate (while holding mu) but has not blocked yet would
+    // otherwise miss the notify forever (lost wakeup) and join() would hang
+    std::lock_guard<std::mutex> lk(ld->mu);
+    ld->stop.store(true);
+  }
   ld->cv_ready.notify_all();
   ld->cv_space.notify_all();
   for (auto& t : ld->threads) t.join();

@@ -102,3 +102,29 @@ def test_native_loader_mixed_jpeg_png_stream(jpeg_dir, tmp_path):
     assert b.shape == (8, 32, 32, 3)
     assert np.isfinite(b).all()
     it.close()
+
+
+def test_truncated_jpeg_fails(tmp_path):
+    """libjpeg would gray-fill a truncated file and call it success; the
+    native decoder treats decode warnings as failure (parity with the PIL
+    fallback, which raises)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from gan_control_tpu.data import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("native library not built")
+
+    full = tmp_path / "ok.jpg"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+    ).save(full, quality=90)
+    data = full.read_bytes()
+    trunc = tmp_path / "trunc.jpg"
+    trunc.write_bytes(data[: len(data) // 2])
+
+    assert nl.decode_one(str(full), 32) is not None
+    with pytest.raises(IOError):
+        nl.decode_one(str(trunc), 32)
