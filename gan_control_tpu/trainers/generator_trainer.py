@@ -218,11 +218,15 @@ class GeneratorTrainer:
             path = Path(ckpt_cfg["ckpt"])
             _log.info("resuming from %s", path)
             self.state = ckpt_lib.restore_checkpoint(path, self.state)
-            self.start_iter = ckpt_lib.parse_step(path)
+            # non-numeric names (best_fid.ckpt) keep the configured
+            # start_iter (reference try/except, :180-185)
+            self.start_iter = ckpt_lib.parse_step(
+                path, default=tc.get("start_iter", 0)
+            )
         self.state = jax.device_put(self.state, self.replicated)
 
-        # data
-        size = mc["size"] if mc["size"] != 896 else 896
+        # data (the loader receives the raw config size — 896 included)
+        size = mc["size"]
         self.loader = data_loader or get_data_loader(
             self.config.get("data_config", {}), tc["batch"], size
         )
@@ -305,8 +309,7 @@ class GeneratorTrainer:
         that SPMD doesn't have)."""
         _log.info("dry run: compiling all step variants...")
         saved_loader = self.loader
-        size = self.mc["size"] if self.mc["size"] != 896 else 896
-        self.loader = synthetic_data_loader(self.tc["batch"], size)
+        self.loader = synthetic_data_loader(self.tc["batch"], self.mc["size"])
         t0 = time.time()
         m = self.one_iteration(0)
         jax.block_until_ready(m)

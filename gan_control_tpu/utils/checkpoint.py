@@ -67,15 +67,27 @@ def save_checkpoint_async(ckpt_dir: str | Path, state: Any, step: int,
     def _write() -> Path:
         return save_checkpoint(ckpt_dir, host_state, step, name=name)
 
-    return _SAVE_POOL.submit(_write)
+    fut = _SAVE_POOL.submit(_write)
+    _PENDING.append(fut)
+    return fut
+
+
+_PENDING: list = []
 
 
 def wait_pending_saves() -> None:
-    """Drain the async save queue (no-op when nothing is pending)."""
+    """Drain the async save queue and RE-RAISE the first failure (a
+    synchronous torch.save would have halted training; silently finishing
+    a run whose periodic checkpoints all failed is worse)."""
     global _SAVE_POOL
     if _SAVE_POOL is not None:
         _SAVE_POOL.shutdown(wait=True)
         _SAVE_POOL = None
+    pending, _PENDING[:] = list(_PENDING), []
+    for fut in pending:
+        exc = fut.exception()
+        if exc is not None:
+            raise exc
 
 
 def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
@@ -88,10 +100,13 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
     return files[-1] if files else None
 
 
-def parse_step(path: str | Path) -> int:
-    """Training step encoded in a checkpoint filename; 0 if non-numeric."""
+def parse_step(path: str | Path, default: int = 0) -> int:
+    """Training step encoded in a checkpoint filename; ``default`` for
+    non-numeric names (best_fid.ckpt) — the reference keeps the configured
+    start_iter in that case (try/except ValueError,
+    generator_trainer.py:180-185), so callers should pass it."""
     m = re.match(r"(\d+)", Path(path).stem)
-    return int(m.group(1)) if m else 0
+    return int(m.group(1)) if m else default
 
 
 def load_state_dict(path: str | Path) -> dict:

@@ -23,13 +23,28 @@ import numpy as np
 
 def initialize(**kwargs):
     """jax.distributed.initialize with TPU auto-detection (no-op when the
-    coordinator env is absent, so single-host runs work unchanged)."""
+    coordinator env is absent, so single-host runs work unchanged).
+
+    When the caller EXPLICITLY requested a distributed run (kwargs given,
+    or a coordinator env var set), failures RE-RAISE: swallowing a bad
+    coordinator address would let every host silently degrade to an
+    independent single-process run training divergent models into the
+    same save_dir."""
+    import os
+
     import jax
 
+    explicit = bool(kwargs) or any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS")
+    )
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        pass  # single-process / already initialized
+        if explicit:
+            raise
+        # implicit single-process / already-initialized: proceed local
     return jax.process_index(), jax.process_count()
 
 

@@ -442,3 +442,50 @@ def test_eval_jit_programs_are_cached(tmp_path, monkeypatch):
     first = trainer._separability_gen_fn
     trainer.evaluate_separability(2)
     assert trainer._separability_gen_fn is first
+
+
+def test_partial_load_strictness():
+    """Transfer loading keeps target 'style' (mapping) leaves on mismatch
+    but RAISES for main-network mismatches like the reference
+    (gan_model.py:649-656); strict=False restores permissive keep-target."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from gan_control_tpu.utils.transfer import partial_load
+
+    target = {"params": {"style": {"kernel": jnp.zeros((4, 4))},
+                         "conv1": {"kernel": jnp.zeros((3, 3))}}}
+    ok_src = {"params": {"style": {"kernel": jnp.ones((8, 8))},  # mismatch OK
+                         "conv1": {"kernel": jnp.ones((3, 3))}}}
+    out = partial_load(target, ok_src)
+    np.testing.assert_allclose(out["params"]["style"]["kernel"],
+                               np.zeros((4, 4)))  # kept target
+    np.testing.assert_allclose(out["params"]["conv1"]["kernel"],
+                               np.ones((3, 3)))  # loaded
+
+    bad_src = {"params": {"style": {"kernel": jnp.ones((4, 4))},
+                          "conv1": {"kernel": jnp.ones((5, 5))}}}  # main net!
+    with _pytest.raises(ValueError, match="main\\s+network"):
+        partial_load(target, bad_src)
+    out = partial_load(target, bad_src, strict=False)
+    np.testing.assert_allclose(out["params"]["conv1"]["kernel"],
+                               np.zeros((3, 3)))
+
+
+def test_parse_step_keeps_configured_start_iter():
+    """Resuming from best_fid.ckpt must not clobber start_iter with 0
+    (reference try/except ValueError, generator_trainer.py:180-185)."""
+    assert ckpt_lib.parse_step("checkpoint/000300.ckpt") == 300
+    assert ckpt_lib.parse_step("checkpoint/best_fid.ckpt", default=300000) == 300000
+
+
+def test_async_save_failures_reraise(tmp_path):
+    """wait_pending_saves surfaces a failed background save instead of
+    letting training 'complete' with zero usable checkpoints."""
+    import pytest as _pytest
+
+    bad_dir = tmp_path / "file-not-dir"
+    bad_dir.write_text("x")  # mkdir under a FILE fails in the worker
+    ckpt_lib.save_checkpoint_async(bad_dir / "checkpoint", {"a": np.zeros(2)}, 1)
+    with _pytest.raises(Exception):
+        ckpt_lib.wait_pending_saves()
