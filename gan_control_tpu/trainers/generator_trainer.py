@@ -309,6 +309,13 @@ class GeneratorTrainer:
         that SPMD doesn't have)."""
         _log.info("dry run: compiling all step variants...")
         saved_loader = self.loader
+        # the reference dry_run never calls optim.step() (:301-327): it
+        # must not perturb (possibly resumed) training state — snapshot
+        # everything the iteration mutates and restore after. The snapshot
+        # must be a DEVICE COPY: the steps donate their state argument, so
+        # holding the original references would restore dead buffers
+        saved_state = jax.tree_util.tree_map(jnp.copy, self.state)
+        saved_rng_state = self._host_rng.bit_generator.state
         self.loader = synthetic_data_loader(self.tc["batch"], self.mc["size"])
         t0 = time.time()
         m = self.one_iteration(0)
@@ -316,6 +323,8 @@ class GeneratorTrainer:
         _log.info("dry run done in %.1fs: %s", time.time() - t0,
                   {k: float(v) for k, v in m.items()})
         self.loader = saved_loader
+        self.state = saved_state
+        self._host_rng.bit_generator.state = saved_rng_state
         return m
 
     def train(self, num_iters: int | None = None):
@@ -341,8 +350,13 @@ class GeneratorTrainer:
         log_every = 10 if debug else 100
         # debug shrinks the intervals (reference generator_trainer.py:724-732)
         # but an explicitly configured interval always wins
-        save_nets_interval = tc.get("save_nets_interval", 50 if debug else 10000)
-        save_images_interval = tc.get("save_images_interval", 10 if debug else 2000)
+        save_nets_interval = tc.get("save_nets_interval", 10000)
+        save_images_interval = tc.get("save_images_interval", 2000)
+        # the reference NEVER saves nets in debug and saves images every
+        # 100 debug iters (end_iter_update :726-729); an explicitly
+        # configured save_nets_interval opts back in (the test/debug-resume
+        # workflows rely on it)
+        nets_in_debug = "save_nets_interval" in tc
         pending: tuple[int, dict] | None = None
 
         for i in range(self.start_iter, total):
@@ -358,10 +372,13 @@ class GeneratorTrainer:
             pending = (i, metrics)
             self.iter_times.append(time.time() - t0)
 
-            if self.save_dir and i > self.start_iter:
-                if i % save_images_interval == 0:
+            if self.save_dir:
+                # reference boundary semantics: iteration 0 DOES save the
+                # baseline grid (0 % interval == 0, :726), and after a
+                # resume i == start_iter saves/evaluates normally
+                if i % save_images_interval == 0 or (debug and i % 100 == 0):
                     self.save_images(i)
-                if i % save_nets_interval == 0:
+                if i % save_nets_interval == 0 and (not debug or nets_in_debug):
                     self.save_nets(i)
             self.evaluate(i)
             if self._preempted:
@@ -370,6 +387,13 @@ class GeneratorTrainer:
                     jax.block_until_ready(self.state)
                     self.save_nets(i + 1, block=True)
                 break
+
+        # flush the final iteration's metrics (they were only pending)
+        if pending is not None:
+            vals = {k: float(v) for k, v in pending[1].items()}
+            vals["iter"] = pending[0]
+            self.metrics_history.append(vals)
+            self.tracker.write_stats(pending[0], extra=pending[1])
 
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
@@ -382,11 +406,18 @@ class GeneratorTrainer:
     # -- periodic evaluation (reference end_iter_update, :721-748) ----------
 
     def _eval_due(self, i: int, interval: int) -> bool:
-        """Reference tracker.py:132-158: every configured interval, and in
-        debug mode additionally every 100 iterations."""
-        if i <= self.start_iter:
+        """Reference gating: end_iter_update (:724-725) runs evaluation only
+        when i % min_evaluate_interval == 0 (debug: every 10 too), and the
+        tracker applies each per-eval interval with an iter != 0 guard
+        (tracker.py:132-158; debug forces every kind every 100). After a
+        resume i == start_iter evaluates normally."""
+        if i == 0:
             return False
-        if self.tc.get("debug") and i % 100 == 0:
+        debug = self.tc.get("debug")
+        min_int = self.tc.get("min_evaluate_interval", 100)
+        if not (i % min_int == 0 or (debug and i % 10 == 0)):
+            return False
+        if debug and i % 100 == 0:
             return True
         return i % interval == 0
 
@@ -419,12 +450,34 @@ class GeneratorTrainer:
     def evaluate_attribute_hist(self, i: int, kind: str, loss_name: str, kc: dict):
         """Orientation histogram / expression class bar over generated
         samples (reference tracker.py:156-183 + evaluation/orientation.py,
-        expression.py)."""
-        al = next((a for a in self.attr_losses if a.name == loss_name), None)
-        if al is None:
-            return
+        expression.py). Works for EVAL-ONLY predictors too: when the loss
+        is disabled for training, the predictor is built standalone with
+        pretrained-or-random weights (the reference's init_evaluation
+        constructs separate evaluation LossModelClasses, :278-299)."""
         from gan_control_tpu.losses.registry import PREDICTOR_MODULES, _load_predictor
         from gan_control_tpu.utils.plotting import plot_bar, plot_hist
+
+        if loss_name not in self.predictor_params:
+            # eval-only predictor: no training loss supplies params
+            import os as _os
+
+            from gan_control_tpu.utils.weights import load_pretrained
+
+            mod = _load_predictor(PREDICTOR_MODULES[loss_name])
+            block = self.tc.get(loss_name) or {}
+            model = mod.make_model(block)
+            mp = block.get("model_path", "")
+            pp = None
+            if mp and _os.path.exists(mp) and hasattr(mod, "convert_torch_weights"):
+                pp = mod.convert_torch_weights(model, mp)
+            if pp is None:
+                _log.warning(
+                    "%s (eval-only): RANDOM predictor weights — the %s "
+                    "statistic is meaningless until weights are converted",
+                    loss_name, kind,
+                )
+                pp = mod.init_params(model, jax.random.PRNGKey(23))
+            self.predictor_params[loss_name] = pp
 
         n = 100 if self.tc.get("debug") else kc.get("num_of_samples", 2000)
         batch = self.tc["batch"]
@@ -448,10 +501,11 @@ class GeneratorTrainer:
             from gan_control_tpu.utils.precision import predictor_precision_ctx
 
             @jax.jit
-            def gen_and_predict(gp, pp, z):
-                img, _ = self.generator.apply(
-                    gp, [z], rngs={"noise": jax.random.PRNGKey(0)}
-                )
+            def gen_and_predict(gp, pp, z, rng):
+                # fresh injection noise per batch (the reference draws new
+                # noise per generated image) — a constant key would compute
+                # the statistic over one shared noise realization
+                img, _ = self.generator.apply(gp, [z], rngs={"noise": rng})
                 # only the predictor runs at the high-precision setting; G
                 # keeps the fast MXU default
                 with predictor_precision_ctx(self.tc.get("predictor_precision")):
@@ -462,11 +516,13 @@ class GeneratorTrainer:
         preds = []
         rng = jax.random.PRNGKey(1000 + i)
         for s in range(0, n, batch):
-            rng, k = jax.random.split(rng)
+            rng, k, k_noise = jax.random.split(rng, 3)
             z = jax.random.normal(k, (batch, self.step_cfg.style_dim))
             preds.append(
                 np.asarray(
-                    gen_and_predict(g_ema, self.predictor_params[loss_name], z)
+                    gen_and_predict(
+                        g_ema, self.predictor_params[loss_name], z, k_noise
+                    )
                 )
             )
         preds = np.concatenate(preds, axis=0)[:n]
@@ -562,6 +618,21 @@ class GeneratorTrainer:
         from gan_control_tpu.losses import contrastive as C
 
         losses = self.separability_cfg.get("losses", [])
+        if self.spec is None:
+            _log.warning("separability needs a latent partition (vanilla "
+                         "model) — skipping")
+            return
+        # eval-only separability losses (enabled in evaluation_config but
+        # disabled for training) would need a standalone predictor; the
+        # reference builds one (init_evaluation :278-299) — warn instead of
+        # silently producing nothing
+        have = {a.name for a in self.attr_losses}
+        for missing in [x for x in losses if x not in have]:
+            _log.warning(
+                "separability loss %r is not among the training losses — "
+                "skipped (enable the training loss or evaluate offline via "
+                "calibrate_thresholds)", missing,
+            )
         n = 100 if self.tc.get("debug") else self.separability_cfg.get("num_of_samples", 2000)
         g_ema = self.state.g_ema
 

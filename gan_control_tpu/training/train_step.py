@@ -325,14 +325,18 @@ def make_train_steps(
             fake_pred, _ = discriminator.apply(d_params, fake_img)
             real_pred, _ = discriminator.apply(d_params, real_in)
             mean_loss = d_logistic_loss(real_pred, fake_pred)
-            # reference-exact gradient scale: discriminator_step divides the
-            # per-mini-batch mean by the MINI-BATCH SIZE (d_loss.div_(
-            # len(mini_real_img)), generator_trainer.py:658) — unlike the G
-            # and R1 steps, which divide by the mini-batch COUNT. The
-            # asymmetry changes the adv:R1 magnitude ratio inside Adam's
-            # shared moments, so it is replicated, not "fixed"; the logged
-            # d_loss metric stays the interpretable unscaled mean.
-            return mean_loss / cfg.mini_batch, (mean_loss, real_pred, fake_pred)
+            # reference-exact gradient scale: discriminator_step divides
+            # each mini-batch chunk's mean by the MINI-BATCH SIZE
+            # (d_loss.div_(len(mini_real_img)), generator_trainer.py:658)
+            # and ACCUMULATES over the num_mini chunks — total gradient =
+            # num_mini * full_mean / mini_batch. Unlike the G and R1 steps
+            # (which divide by the chunk COUNT), so the asymmetric adv:R1
+            # magnitude ratio inside Adam's shared moments is replicated,
+            # not "fixed"; the logged d_loss metric stays the interpretable
+            # unscaled mean.
+            num_mini = max(1, cfg.batch // cfg.mini_batch)
+            scaled = mean_loss * (num_mini / cfg.mini_batch)
+            return scaled, (mean_loss, real_pred, fake_pred)
 
         (_, (loss, real_pred, fake_pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
