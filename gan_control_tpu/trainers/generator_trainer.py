@@ -623,16 +623,41 @@ class GeneratorTrainer:
                          "model) — skipping")
             return
         # eval-only separability losses (enabled in evaluation_config but
-        # disabled for training) would need a standalone predictor; the
-        # reference builds one (init_evaluation :278-299) — warn instead of
-        # silently producing nothing
+        # disabled for training) get a STANDALONE predictor, like the
+        # reference's init_evaluation LossModelClasses (:278-299): build
+        # the spec via the registry from the (disabled) training block,
+        # once, with pretrained-or-random weights
         have = {a.name for a in self.attr_losses}
+        eval_specs = list(self.attr_losses)
         for missing in [x for x in losses if x not in have]:
-            _log.warning(
-                "separability loss %r is not among the training losses — "
-                "skipped (enable the training loss or evaluate offline via "
-                "calibrate_thresholds)", missing,
-            )
+            if not hasattr(self, "_eval_only_specs"):
+                self._eval_only_specs = {}
+            spec_al = self._eval_only_specs.get(missing)
+            if spec_al is None:
+                block = self.tc.get(missing)
+                if not isinstance(block, dict):
+                    _log.warning(
+                        "separability loss %r has no config block — skipped",
+                        missing,
+                    )
+                    continue
+                from gan_control_tpu.losses.registry import build_attr_losses
+
+                specs, params = build_attr_losses(
+                    {**{missing: dict(block, enabled=True)},
+                     "predictor_precision": self.tc.get("predictor_precision")}
+                )
+                by_name = {a.name: a for a in specs}
+                if missing not in by_name:
+                    _log.warning("separability loss %r not buildable — "
+                                 "skipped", missing)
+                    continue
+                spec_al = by_name[missing]
+                self.predictor_params[missing] = params[missing]
+                self._eval_only_specs[missing] = spec_al
+                _log.info("built eval-only predictor for separability "
+                          "loss %r", missing)
+            eval_specs.append(spec_al)
         n = 100 if self.tc.get("debug") else self.separability_cfg.get("num_of_samples", 2000)
         g_ema = self.state.g_ema
 
@@ -667,7 +692,7 @@ class GeneratorTrainer:
         def gen(z, rng):
             return _gen(g_ema, z, rng)
 
-        for al in self.attr_losses:
+        for al in eval_specs:
             if al.name not in losses:
                 continue
             group = self.spec.group(al.group)

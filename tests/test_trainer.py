@@ -489,3 +489,46 @@ def test_async_save_failures_reraise(tmp_path):
     ckpt_lib.save_checkpoint_async(bad_dir / "checkpoint", {"a": np.zeros(2)}, 1)
     with _pytest.raises(Exception):
         ckpt_lib.wait_pending_saves()
+
+
+def test_eval_only_separability_predictor(tmp_path, monkeypatch):
+    """Separability losses enabled only in evaluation_config get a
+    standalone predictor built from the registry (the reference's
+    init_evaluation LossModelClasses, generator_trainer.py:278-299) —
+    previously they were silently skipped."""
+    import jax.numpy as jnp
+
+    from gan_control_tpu.losses import registry
+    from gan_control_tpu.losses.contrastive import ContrastiveConfig, pairwise_sq_l2
+    from gan_control_tpu.training.train_step import AttributeLossSpec
+
+    cfg = tiny_config(tmp_path)
+    cfg["training_config"]["orientation_loss"] = {
+        "enabled": False, "same_group_name": "id",
+    }
+    cfg["evaluation_config"]["separability"] = {
+        "enabled": True, "separability_interval": 1, "num_of_samples": 16,
+        "losses": ["orientation_loss"],
+    }
+
+    def fake_build(tc, rng=None):
+        assert tc["orientation_loss"]["enabled"]  # re-enabled for eval
+        spec = AttributeLossSpec(
+            name="orientation_loss", group="id",
+            cfg=ContrastiveConfig(
+                intermediate_weights=(), last_layer_weight=1.0,
+                lower_thres=(), upper_thres=(),
+                last_lower_thres=0.1, last_upper_thres=1.0,
+                focus_on=("same_as_last_layer",),
+            ),
+            feature_fn=lambda p, x: [jnp.mean(x, axis=(1, 2))],
+            dist_fn=pairwise_sq_l2,
+        )
+        return (spec,), {"orientation_loss": {}}
+
+    monkeypatch.setattr(registry, "build_attr_losses", fake_build)
+    trainer = GeneratorTrainer(config=cfg)  # NO attr_losses
+    trainer.evaluate_separability(100)
+    keys = [k for k in trainer.tracker.evaluation_dict
+            if k.startswith("separability/orientation_loss")]
+    assert keys, "eval-only separability produced no scalars"
