@@ -84,7 +84,10 @@ def main() -> int:
 
     import jax
 
+    from bench import _setup_jax
+
     on_tpu = jax.devices()[0].platform != "cpu"
+    _setup_jax(on_tpu)  # persistent compile cache — 8 executables otherwise
     if not on_tpu:
         # CPU smoke: tiny harness (build_train_harness shrinks shapes itself)
         args.iters = min(args.iters, 5)
