@@ -345,6 +345,11 @@ def main():
         except Exception:
             if "BENCH_BATCH" in os.environ:
                 raise
+        # the retry runs OUTSIDE the except block: while the exception is
+        # live its traceback pins the failed batch's device buffers, and
+        # the retry's workspaces would stack on top of them
+        if gen is None:
+            gc.collect()
             os.environ["BENCH_BATCH"] = "32"
             gen = bench_generation(on_tpu)
         print(json.dumps(gen), flush=True)
