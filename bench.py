@@ -52,7 +52,9 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+import traceback
 
 os.environ.setdefault("GANCTL_LOG_STDERR", "1")  # stdout = JSON lines only
 
@@ -302,6 +304,11 @@ def bench_train(on_tpu: bool) -> dict:
         try:
             return _bench_train_measure(h, on_tpu, "pipeline")
         except Exception:
+            # print the root cause NOW — the fallback may also fail, and a
+            # bare swallow would lose this traceback from the logs
+            print("bench: pipelined train dispatch failed; falling back to "
+                  "split dispatch. Original error:", file=sys.stderr)
+            traceback.print_exc()
             # four workspace kinds in flight didn't fit (smaller chip or a
             # heavier memory plan): fall back to the sync-bounded
             # regime-split measurement. The rebuild must happen OUTSIDE
@@ -345,6 +352,12 @@ def main():
         except Exception:
             if "BENCH_BATCH" in os.environ:
                 raise
+            # print the root cause NOW, inside the handler (holding the
+            # exception object past the block would keep its traceback —
+            # and the failed batch's device buffers — alive into the retry)
+            print("bench: full-batch generation failed; retrying at quarter "
+                  "batch. Original error:", file=sys.stderr)
+            traceback.print_exc()
         # the retry runs OUTSIDE the except block: while the exception is
         # live its traceback pins the failed batch's device buffers, and
         # the retry's workspaces would stack on top of them
@@ -360,6 +373,9 @@ def main():
         try:
             train = bench_train(on_tpu)
         except Exception:
+            print("bench: train bench failed; will retry on the remat "
+                  "memory plan. Original error:", file=sys.stderr)
+            traceback.print_exc()
             train = None
         # the retry runs OUTSIDE the except block: while an exception is
         # being handled its traceback pins the failed harness frames
