@@ -21,8 +21,13 @@ Behavior contract: ControllerTrainer (reference trainers/controller_trainer.py
     {controller, controller_optim} (:397-406).
 
 TPU-first: the whole update (FcStack fwd + optional frozen-G synthesis +
-predictor + backward) is one jitted step; the frozen generator params are
-closed-over constants on device."""
+predictor + backward) is one jitted SPMD step over a 1-D 'data' mesh — the
+batch dimension (controls, w rows) is sharded over ICI and every parameter
+tree (controller, frozen G, frozen predictor) is replicated, so the
+``attribute_rec`` frozen-G 512² synthesis at batch 128 — by far the heavy
+term (reference controller_trainer.py:202-239, trained on a single V100) —
+scales across chips exactly like the phase-1 steps; XLA inserts the
+controller-gradient all-reduce."""
 
 from __future__ import annotations
 
@@ -33,7 +38,9 @@ from typing import Any, Callable, Mapping
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gan_control_tpu.data.dataframe import attribute_column_for, get_dataframe_data_loader
 from gan_control_tpu.inference.inference import Inference
@@ -77,6 +84,7 @@ class ControllerTrainer:
         controller_criterion: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
         data_loader=None,
         eval_data=None,
+        mesh: Mesh | None = None,
     ):
         assert (config_path is None) != (config is None)
         self.config = dict(config) if config is not None else read_json(config_path)
@@ -182,9 +190,30 @@ class ControllerTrainer:
             self.predict_fn = None
             self.criterion = None
 
-        self._step_fn = jax.jit(self._make_step())
+        # mesh: 1-D data-parallel over every visible device (same shape as
+        # GeneratorTrainer's); parameters replicated, batches sharded
+        self.mesh = mesh or Mesh(np.array(jax.devices()), ("data",))
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, self.replicated)
+        self.g_params = jax.device_put(self.g_params, self.replicated)
+        if self._attr_pred_params:
+            self._attr_pred_params = jax.device_put(
+                self._attr_pred_params, self.replicated
+            )
+
+        self._step_fn = jax.jit(self._make_step(), donate_argnums=(0,))
         self._eval_fn = jax.jit(self._make_eval())
         self.metrics_history: list[dict] = []
+
+    def _put_batch(self, arr) -> jax.Array:
+        """Shard a host batch over 'data'; an indivisible batch (e.g. the
+        50-row eval chunks on an 8-chip mesh) falls back to replication."""
+        arr = np.asarray(arr)
+        divisible = arr.shape[0] % self.mesh.devices.size == 0
+        return jax.device_put(
+            arr, self.batch_sharding if divisible else self.replicated
+        )
 
     def _build_attribute_predictor(self, loss_name: str, in_dim: int | None):
         """Differentiable predict(params, images) + controller_criterion for
@@ -322,7 +351,7 @@ class ControllerTrainer:
             ec, ew = next(self.eval_loader)
             rng, k = jax.random.split(rng)
             m = self._eval_fn(
-                self.state.params, jnp.asarray(ec), jnp.asarray(ew), k,
+                self.state.params, self._put_batch(ec), self._put_batch(ew), k,
                 self.g_params, self._attr_pred_params,
             )
             for k2, v in m.items():
@@ -334,8 +363,6 @@ class ControllerTrainer:
         from the ORIGINAL w row and from w with the controller-predicted
         group slice swapped in, identical injection noise for the pair
         (reference save_dual_images, controller_trainer.py:364-391)."""
-        import numpy as np
-
         from gan_control_tpu.evaluation.generation import save_image_grid
 
         if self.save_dir is None or self.eval_dataset is None:
@@ -387,7 +414,7 @@ class ControllerTrainer:
             controls, w = next(self.loader)
             rng, k = jax.random.split(rng)
             self.state, metrics = self._step_fn(
-                self.state, jnp.asarray(controls), jnp.asarray(w), k,
+                self.state, self._put_batch(controls), self._put_batch(w), k,
                 self.g_params, self._attr_pred_params,
             )
             if i % eval_interval == 0:

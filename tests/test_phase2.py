@@ -236,6 +236,64 @@ def test_controller_attribute_rec(phase1_dir, tmp_path):
     assert grids, "no dual real/pred grid saved"
 
 
+def test_controller_sharded_vs_single_device_parity(phase1_dir):
+    """Phase-2b SPMD: the controller step (latent_rec + attribute_rec's
+    frozen-G synthesis) sharded over the 8-device 'data' mesh produces the
+    same trajectory as the 1-device run — the phase-2 analog of the phase-1
+    8-vs-1 parity check. The batch (16) shards to 2 rows/device."""
+    from jax.sharding import Mesh
+    from gan_control_tpu.trainers.controller_trainer import ControllerTrainer
+
+    def make_loader(seed):
+        rng = np.random.default_rng(seed)
+
+        def it():
+            while True:
+                yield (
+                    rng.standard_normal((16, 3)).astype(np.float32),
+                    rng.standard_normal((16, STYLE)).astype(np.float32),
+                )
+
+        return it()
+
+    def build(mesh):
+        cfg = {
+            "model_config": {"latent_size": STYLE, "size": SIZE,
+                             "lr_mlp": 0.01, "n_mlp": 2, "in_dim": 3,
+                             "mid_dim": 32, "loss": "orientation_loss"},
+            "training_config": {
+                "rec_loss": "l1", "generator_dir": str(phase1_dir),
+                "iter": 3, "batch": 16, "reg_every": 4, "lr": 0.002,
+                "min_evaluate_interval": 1,
+                "losses": ["latent_rec", "attribute_rec"],
+                "attribute_rec_w": 0.01,
+            },
+        }
+        tr = ControllerTrainer(
+            config=cfg, init_dirs=False,
+            predict_fn=lambda img: jnp.mean(img, axis=(1, 2)) * 100.0,
+            controller_criterion=lambda p, t: jnp.mean(jnp.abs(p - t)),
+            data_loader=(make_loader(0), None),
+            mesh=mesh,
+        )
+        tr.train(3)
+        return tr
+
+    tr8 = build(None)  # all 8 virtual devices (the default mesh)
+    assert tr8.mesh.devices.size == 8
+    tr1 = build(Mesh(np.array(jax.devices()[:1]), ("data",)))
+
+    for m8, m1 in zip(tr8.metrics_history, tr1.metrics_history):
+        for k in ("loss", "latent_rec_loss", "attribute_loss"):
+            np.testing.assert_allclose(m8[k], m1[k], rtol=2e-4, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        tr8.state.params, tr1.state.params,
+    )
+
+
 def test_make_attributes_df_cli(phase1_dir, tmp_path, monkeypatch):
     """Phase-2a CLI end-to-end on the tiny model (no predictors enabled in
     its config -> latents/latents_w columns only)."""

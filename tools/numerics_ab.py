@@ -12,10 +12,12 @@ trajectory statistics.
 
 GAN training is chaotic, so per-iteration values decorrelate after the
 first few steps regardless of numerics; what a healthy bf16 plan must
-show is DISTRIBUTIONAL agreement: matching running means/spreads for
-d_loss/g_loss/r1/path, no blowups or NaNs, and a first-iteration
-(pre-chaos) relative delta at bf16 rounding scale. That is what gets
-printed, one JSON line per metric plus a verdict line.
+show is a first-iteration (pre-chaos) relative delta at bf16 rounding
+scale, no blowups or NaNs, and distributional agreement where the metric
+is stable enough to have a distribution (the D side; the G side's
+random-weight contrastive magnitudes are outlier-dominated — see the
+committed table's reading). That is what gets printed, one JSON line per
+metric plus a verdict line.
 
 Usage:  python tools/numerics_ab.py [--iters 48] [--batch 16]
 
