@@ -97,8 +97,26 @@ def infinite_loader(
     workers: int = 4,
     seed: int = 0,
     prefetch: int = 2,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> Iterator[np.ndarray]:
-    """Infinite shuffled NHWC batches with background decoding."""
+    """Infinite shuffled NHWC batches with background decoding.
+
+    Multi-host sharding (``num_shards`` = process count): every host runs
+    the SAME shuffle stream (same seed — no coordination needed), each
+    GLOBAL batch of ``batch_size`` indices is sliced into contiguous
+    per-host rows, and each host decodes ONLY its ``batch_size //
+    num_shards`` slice — 1/N of the IO per host. Because the per-image
+    augmentation rng is keyed by (batch_seed, image index), host h's rows
+    are bit-identical to rows [h*local:(h+1)*local] of the single-host
+    batch: concatenating the shards reproduces the unsharded stream
+    exactly. (This fills the reference's dead DistributedSampler slot,
+    ffhq_dataset.py:39-47.)"""
+    if batch_size % num_shards:
+        raise ValueError(f"batch {batch_size} not divisible by {num_shards} shards")
+    if not (0 <= shard_index < num_shards):
+        raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+    local = batch_size // num_shards
     order_rng = np.random.default_rng(seed)
     pool = ThreadPoolExecutor(max_workers=max(workers, 1))
     q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -122,7 +140,11 @@ def infinite_loader(
             for s in range(0, len(perm) - batch_size + 1, batch_size):
                 if stop.is_set():
                     return
-                idx = perm[s : s + batch_size]
+                idx = perm[s : s + batch_size][
+                    shard_index * local : (shard_index + 1) * local
+                ]
+                # the augment rng stays keyed by the GLOBAL batch offset +
+                # image index, so shards match the unsharded stream
                 q.put(make_batch(idx, epoch * 1_000_003 + s))
             epoch += 1
 
@@ -136,14 +158,17 @@ def infinite_loader(
 
 
 def get_ffhq_data_loader(
-    data_config: dict, batch_size: int, size: int, seed: int = 0
+    data_config: dict, batch_size: int, size: int, seed: int = 0,
+    shard_index: int = 0, num_shards: int = 1,
 ) -> Iterator[np.ndarray]:
     ds = ImageFolderDataset(list_images(data_config["path"]), size=size)
-    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)), seed=seed)
+    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)),
+                           seed=seed, shard_index=shard_index, num_shards=num_shards)
 
 
 def get_afhq_data_loader(
-    data_config: dict, batch_size: int, size: int, seed: int = 0
+    data_config: dict, batch_size: int, size: int, seed: int = 0,
+    shard_index: int = 0, num_shards: int = 1,
 ) -> Iterator[np.ndarray]:
     """Dog images only: <path>/train/dog + <path>/val/dog (reference
     afhq_dataset.py:33-34), with random-resized-crop p=0.5."""
@@ -156,34 +181,52 @@ def get_afhq_data_loader(
     if not paths:  # fall back to flat layout
         paths = list_images(root)
     ds = ImageFolderDataset(paths, size=size, random_resized_crop_p=0.5)
-    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)), seed=seed)
+    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)),
+                           seed=seed, shard_index=shard_index, num_shards=num_shards)
 
 
 def get_metfaces_data_loader(
-    data_config: dict, batch_size: int, size: int, seed: int = 0
+    data_config: dict, batch_size: int, size: int, seed: int = 0,
+    shard_index: int = 0, num_shards: int = 1,
 ) -> Iterator[np.ndarray]:
     ds = ImageFolderDataset(list_images(data_config["path"]), size=size)
-    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)), seed=seed)
+    return infinite_loader(ds, batch_size, workers=int(data_config.get("workers", 4)),
+                           seed=seed, shard_index=shard_index, num_shards=num_shards)
 
 
 def synthetic_data_loader(
-    batch_size: int, size: int, seed: int = 0
+    batch_size: int, size: int, seed: int = 0,
+    shard_index: int = 0, num_shards: int = 1,
 ) -> Iterator[np.ndarray]:
-    """Deterministic fake-image stream for tests / dry runs / benches."""
+    """Deterministic fake-image stream for tests / dry runs / benches.
+    Sharded hosts replay the same stream and take their contiguous row
+    slice, so the shards concatenate to the unsharded batch exactly."""
+    if batch_size % num_shards:
+        raise ValueError(f"batch {batch_size} not divisible by {num_shards} shards")
+    local = batch_size // num_shards
     rng = np.random.default_rng(seed)
     while True:
-        yield rng.standard_normal((batch_size, size, size, 3)).astype(np.float32) * 0.5
+        full = rng.standard_normal((batch_size, size, size, 3)).astype(np.float32) * 0.5
+        yield full[shard_index * local : (shard_index + 1) * local]
 
 
 def get_data_loader(
-    data_config: dict, batch_size: int, size: int, seed: int = 0
+    data_config: dict, batch_size: int, size: int, seed: int = 0,
+    shard_index: int = 0, num_shards: int = 1,
 ) -> Iterator[np.ndarray]:
     """Dispatch on data_set_name (reference GeneratorTrainer.init_data_set,
     generator_trainer.py:205-216). Prefers the native C++ decode pipeline
-    (native/gcdata.cpp) when built and the dataset is JPEG/PNG."""
+    (native/gcdata.cpp) when built and the dataset is JPEG/PNG.
+
+    ``batch_size`` is the GLOBAL batch; with ``num_shards`` > 1 (multi-host)
+    each host's loader yields its ``batch_size // num_shards`` row slice
+    (see infinite_loader). The native path shards the FILE LIST round-robin
+    instead (its shuffle lives in C++): statistically equivalent and
+    IO-disjoint, but not bit-identical to the single-host stream."""
     name = data_config.get("data_set_name", "ffhq")
     if name == "synthetic":
-        return synthetic_data_loader(batch_size, size, seed)
+        return synthetic_data_loader(batch_size, size, seed,
+                                     shard_index=shard_index, num_shards=num_shards)
     if not os.path.isdir(str(data_config.get("path", ""))):
         # NEVER fall back silently: training the discriminator against
         # Gaussian noise because of a typo'd path burns hours producing
@@ -210,16 +253,21 @@ def get_data_loader(
             if paths and all(
                 p.suffix.lower() in (".jpg", ".jpeg", ".png") for p in paths
             ):
+                if num_shards > 1:
+                    # round-robin file split: disjoint per-host IO; the C++
+                    # shuffle runs per-host over its own file subset
+                    paths = paths[shard_index::num_shards]
                 return nl.native_loader(
-                    paths, size, batch_size,
+                    paths, size, batch_size // num_shards,
                     workers=int(data_config.get("workers", 4)),
                     seed=seed, random_resized_crop_p=rrc_p,
                 )
 
+    kw = dict(shard_index=shard_index, num_shards=num_shards)
     if name == "ffhq":
-        return get_ffhq_data_loader(data_config, batch_size, size, seed)
+        return get_ffhq_data_loader(data_config, batch_size, size, seed, **kw)
     if name == "afhq":
-        return get_afhq_data_loader(data_config, batch_size, size, seed)
+        return get_afhq_data_loader(data_config, batch_size, size, seed, **kw)
     if name == "metfaces":
-        return get_metfaces_data_loader(data_config, batch_size, size, seed)
+        return get_metfaces_data_loader(data_config, batch_size, size, seed, **kw)
     raise ValueError(f"unknown data_set_name {name}")

@@ -223,12 +223,21 @@ class GeneratorTrainer:
             self.start_iter = ckpt_lib.parse_step(
                 path, default=tc.get("start_iter", 0)
             )
-        self.state = jax.device_put(self.state, self.replicated)
+        self.state = self._replicate(self.state)
+        self.predictor_params = self._replicate(self.predictor_params)
 
-        # data (the loader receives the raw config size — 896 included)
+        # data (the loader receives the raw config size — 896 included).
+        # Multi-host: each process's loader yields its batch//process_count
+        # row slice of the global batch (disjoint IO; see
+        # data/datasets.infinite_loader) — an INJECTED data_loader must do
+        # the same. The host rng is seeded identically on every process:
+        # hosts replay the same z/decision streams in lockstep and
+        # contribute only their row shard (_put_global_rows), so the global
+        # program sequence never diverges across processes.
         size = mc["size"]
         self.loader = data_loader or get_data_loader(
-            self.config.get("data_config", {}), tc["batch"], size
+            self.config.get("data_config", {}), tc["batch"], size,
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
         )
         self._host_rng = np.random.default_rng(tc.get("seed", 0) + 1)
 
@@ -252,20 +261,51 @@ class GeneratorTrainer:
 
     # ------------------------------------------------------------------
 
+    def _replicate(self, tree):
+        """Replicate a host-local tree over the (possibly multi-process)
+        mesh. Single-process: plain device_put; multi-process: every host
+        holds an identical copy (same init seed / same restored checkpoint)
+        and contributes it as its process-local view of the global array."""
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.replicated, np.asarray(x)
+                ),
+                tree,
+            )
+        return jax.device_put(tree, self.replicated)
+
     def _put_batch(self, batch: np.ndarray) -> jax.Array:
+        if jax.process_count() > 1:
+            # `batch` is this host's row shard (the sharded loader's output)
+            return jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(batch)
+            )
         return jax.device_put(batch, self.batch_sharding)
+
+    def _put_global_rows(self, full: np.ndarray) -> jax.Array:
+        """Shard a FULL global batch that every host drew identically
+        (lockstep host rng): each process contributes its contiguous row
+        slice. The redundant draw is microseconds of numpy; what matters is
+        that host-side random DECISIONS (mixing_noise's 1-vs-2 style count)
+        stay in lockstep so all processes enqueue the same programs."""
+        if jax.process_count() > 1:
+            rows = full.shape[0] // jax.process_count()
+            local = full[jax.process_index() * rows : (jax.process_index() + 1) * rows]
+            return jax.make_array_from_process_local_data(self.batch_sharding, local)
+        return jax.device_put(full, self.batch_sharding)
 
     def _sample_z(self, batch: int):
         z = mixing_noise(
             self._host_rng, batch, self.step_cfg.style_dim, self.step_cfg.mixing
         )
-        return tuple(jax.device_put(zi, self.batch_sharding) for zi in z)
+        return tuple(self._put_global_rows(zi) for zi in z)
 
     def _sample_z_single(self, batch: int):
         z = self._host_rng.standard_normal(
             (batch, self.step_cfg.style_dim)
         ).astype(np.float32)
-        return jax.device_put(z, self.batch_sharding)
+        return self._put_global_rows(z)
 
     def one_iteration(self, i: int):
         """D update (+R1), G update (+path reg), EMA. Returns metric dict of
@@ -604,7 +644,15 @@ class GeneratorTrainer:
         g_ema = self.state.g_ema
 
         def gen_feats(rng):
-            return fused(g_ema, inception_params, rng)
+            feats = fused(g_ema, inception_params, rng)
+            if jax.process_count() > 1:
+                # the [chunk, 2048] features are batch-sharded across hosts;
+                # the host-side covariance needs the full set on every
+                # process (and every process must compute the same FID)
+                from jax.experimental import multihost_utils
+
+                feats = multihost_utils.process_allgather(feats, tiled=True)
+            return feats
 
         n = self.fid_cfg.get("num_of_samples", 50000)
         if self.tc.get("debug"):
