@@ -356,7 +356,10 @@ class GeneratorTrainer:
         # holding the original references would restore dead buffers
         saved_state = jax.tree_util.tree_map(jnp.copy, self.state)
         saved_rng_state = self._host_rng.bit_generator.state
-        self.loader = synthetic_data_loader(self.tc["batch"], self.mc["size"])
+        self.loader = synthetic_data_loader(
+            self.tc["batch"], self.mc["size"],
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
+        )
         t0 = time.time()
         m = self.one_iteration(0)
         jax.block_until_ready(m)
