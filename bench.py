@@ -117,12 +117,15 @@ def bench_generation(on_tpu: bool) -> dict:
 
 
 def build_train_harness(on_tpu: bool, attr: bool = True) -> dict:
-    """FFHQ phase-1 step harness shared by bench_train and
-    tools/profile_bench.py. Env knobs: BENCH_TRAIN_MP (default 1: bf16 G/D
-    compute with f32 params/mapping/predictors/losses — measured vs f32 on
-    v5e: d_step 312->269 ms, g_step+battery 393->322 ms), BENCH_TRAIN_REMAT
-    (default: off under MP — bf16 activations fit batch 16/512² without the
-    remat memory plan, TRAINING.md guidance), BENCH_TRAIN_BATCH."""
+    """FFHQ phase-1 step harness shared by bench_train, tools/train_mfu.py
+    and tools/profile_bench.py. Env knobs: BENCH_TRAIN_MP (default 1: bf16
+    G/D compute with f32 params/mapping/predictors/losses — the bf16 plan
+    measured ~16-18% faster per step than f32 in a same-process A/B),
+    BENCH_TRAIN_REMAT (default: off under MP — bf16 activations fit batch
+    16/512² without the remat memory plan, TRAINING.md guidance),
+    BENCH_TRAIN_BATCH. Canonical per-executable timings/FLOPs/HBM: the
+    TRAINING.md "Measured MFU / roofline" table (chip µbenchmarks vary
+    across processes; that table is the same-process reference)."""
     import jax
     import jax.numpy as jnp
 

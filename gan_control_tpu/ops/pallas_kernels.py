@@ -40,10 +40,12 @@ f32 shapes (peaks 35% of HBM roofline; the <=32px shapes sit on a
 ~1.5 ms dispatch floor the fused step graph doesn't pay), so the conv
 stays the default; GANCTL_PALLAS=1 selects blur_sep (c%128 shapes) /
 sepMAC for re-tuning on other hardware. Stubbing every D blur out of the
-fused train graphs bounded the whole prize at ~45 ms of the 196 ms
-d_step + ~16 ms of the 242 ms g_step — most of it intrinsic at these
-rooflines. The standing guidance: Pallas blurs are the high-PRECISION
-option (4.3e-7 vs lax's 9.4e-3), not a throughput one.
+fused train graphs bounded the whole prize at ~45 ms of the d_step +
+~16 ms of the g_step (step timings vary across processes; the canonical
+per-executable table lives in TRAINING.md "Measured MFU / roofline") —
+most of it intrinsic at these rooflines. The standing guidance: Pallas
+blurs are the high-PRECISION option (4.3e-7 vs lax's 9.4e-3), not a
+throughput one.
 
 Precision (measured on v5e vs a float64 oracle, tools/pallas_tpu_smoke.py):
 the Mosaic kernels do TRUE f32 VPU arithmetic — max err 4.3e-7 — while the

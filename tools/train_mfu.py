@@ -39,11 +39,15 @@ def main():
     real, zs, cfg, batch = h["real"], h["zs"], h["cfg"], h["batch"]
     path_batch = max(1, batch // cfg.path_batch_shrink)
 
+    # donate the state (like the real trainer's jits): without donation each
+    # in-flight timed execution allocates a FULL new output state, and the
+    # back-to-back rep loop OOMs the 16GB chip on accumulated state copies
+    donate = {"donate_argnums": (0,)}
     lowered = {
-        "d_step": jax.jit(steps["d_step"]).lower(state, real, (zs[0],)),
-        "g_step": jax.jit(steps["g_step"]).lower(state, (zs[1],), pred_params),
-        "d_reg_step": jax.jit(steps["d_reg_step"]).lower(state, real),
-        "g_reg_step": jax.jit(steps["g_reg_step"]).lower(
+        "d_step": jax.jit(steps["d_step"], **donate).lower(state, real, (zs[0],)),
+        "g_step": jax.jit(steps["g_step"], **donate).lower(state, (zs[1],), pred_params),
+        "d_reg_step": jax.jit(steps["d_reg_step"], **donate).lower(state, real),
+        "g_reg_step": jax.jit(steps["g_reg_step"], **donate).lower(
             state, (zs[2][:path_batch],)
         ),
     }
@@ -70,20 +74,30 @@ def main():
                 f"hbm-floor={bytes_acc/V5E_HBM_GBS*1e3:6.1f} ms")
         if measure:
             run = calls[name]
-            s, m = run(compiled, state)
-            jax.block_until_ready(s)
-            ts = []
-            for _ in range(8):
-                t0 = time.perf_counter()
-                s, m = run(compiled, state)
-                jax.block_until_ready(s)
-                ts.append(time.perf_counter() - t0)
-            dt = float(np.median(ts))
+
+            def force(metrics):
+                # block_until_ready is a NO-OP over the axon tunnel: only a
+                # scalar FETCH proves the program ran (verify SKILL.md); one
+                # fetch drains the whole enqueued stream
+                return float(np.asarray(next(iter(metrics.values()))))
+
+            # the state THREADS through every run (donated in, new out) —
+            # constant memory exactly like the trainer's pipelined dispatch
+            state, m = run(compiled, state)
+            force(m)  # warmup (load + first run)
+            reps = 8
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state, m = run(compiled, state)
+            force(m)
+            # back-to-back mean: the ~0.1 s tunnel RTT of the final sync
+            # amortizes over reps instead of inflating every sample
+            dt = (time.perf_counter() - t0) / reps
             mfu = flops / V5E_PEAK_BF16 / dt
             hbm_util = bytes_acc / V5E_HBM_GBS / dt
             line += f"  measured={dt*1e3:7.1f} ms  MFU={mfu:5.1%}  HBM={hbm_util:5.1%}"
             total_amortized += dt * cadence[name]
-            del s, m
+            del m
         print(line)
     if measure:
         print(f"cadence-amortized (sync-bounded upper bound): "
