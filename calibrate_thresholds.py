@@ -155,12 +155,16 @@ def main(argv=None):
     size = config["model_config"]["size"]
     loader = get_data_loader(config.get("data_config", {}), args.batch_size, size)
 
-    feature_fn = jax.jit(lambda imgs: spec.feature_fn(params[spec.name], imgs))
+    # params are a traced ARGUMENT, not a closure constant: closed-over
+    # weight trees get baked into the compile payload, which oversizes
+    # remote-compile links (the age VGG16 exceeded the tunnel's request
+    # limit) — same convention as the trainer's cached predictor jits
+    feature_fn = jax.jit(lambda pp, imgs: spec.feature_fn(pp, imgs))
     chunks = []
     seen = 0
     while seen < args.num_images:
         imgs = next(loader)
-        feats = feature_fn(jax.numpy.asarray(imgs))
+        feats = feature_fn(params[spec.name], jax.numpy.asarray(imgs))
         chunks.append([np.asarray(f) for f in feats])
         seen += imgs.shape[0]
         print(f"features: {seen}/{args.num_images}")
