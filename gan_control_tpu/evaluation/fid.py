@@ -38,12 +38,15 @@ def make_feature_fn(params):
 
     module = InceptionV3Features()
 
+    # params are a traced argument (closed-over weight trees get baked into
+    # the compile payload — oversized on remote-compile links), partially
+    # applied so the public contract stays images -> features
     @jax.jit
-    def run(images):
+    def run(p, images):
         with predictor_precision_ctx():
-            return module.apply(params, images)
+            return module.apply(p, images)
 
-    return run
+    return lambda images: run(params, images)
 
 
 def make_sharded_gen_feature_fn(generator, batch: int, style_dim: int,

@@ -99,14 +99,15 @@ class Inference:
     def calc_mean_w_latents(self, n: int = 100_000, chunk: int = 10_000):
         _log.info("Calc mean_w_latents...")
         style_dim = self.config["model_config"].get("latent_size", 512)
+        # params traced, not closed over (remote-compile payload size)
         map_fn = jax.jit(
-            lambda z: self.model.apply(self.params, z, method="map_latent")
+            lambda p, z: self.model.apply(p, z, method="map_latent")
         )
         acc = np.zeros((style_dim,), np.float64)
         rng = jax.random.PRNGKey(1234)
         for i in range(n // chunk):
             rng, k = jax.random.split(rng)
-            w = map_fn(jax.random.normal(k, (chunk, style_dim)))
+            w = map_fn(self.params, jax.random.normal(k, (chunk, style_dim)))
             acc += np.asarray(w, np.float64).mean(axis=0)
         self.mean_w_latent = jnp.asarray(acc / (n // chunk), jnp.float32)
 
