@@ -169,9 +169,21 @@ def make_toy_attr_losses():
     return specs, params
 
 
-def toy_config(iters: int, seed: int = 0) -> dict:
+def toy_config(iters: int, seed: int = 0, random_mode: bool = False) -> dict:
     """Tiny blob-world config: 32x32, 2 latent groups, split_fc mapping —
-    the FFHQ schema (configs/ffhq.json) shrunk to CPU scale."""
+    the FFHQ schema (configs/ffhq.json) shrunk to CPU scale.
+
+    ``random_mode`` switches to mini_batch_mode='random' (the reference's
+    RandomMiniBatchUtils: a FRESH random group slot placement every step,
+    fed into one compiled g_step as Arrangement arrays), so the harness
+    also proves the contrastive_loss_masked path LEARNS."""
+    sub_groups = {
+        "color": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 32]},
+        "position": {"place_in_mini_batch": [4, 8], "place_in_latent": [32, 64]},
+    }
+    if random_mode:
+        for g in sub_groups.values():
+            g["count_in_mini_bach"] = [2, 6]
     return {
         "save_name": "convergence",
         "add_weight_to_name": False,
@@ -194,12 +206,9 @@ def toy_config(iters: int, seed: int = 0) -> dict:
             "seed": seed,
             "batch": BATCH,
             "mini_batch": BATCH,
-            "mini_batch_mode": "normal",
+            "mini_batch_mode": "random" if random_mode else "normal",
             "augment": {"enabled": False},
-            "sub_groups_dict": {
-                "color": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 32]},
-                "position": {"place_in_mini_batch": [4, 8], "place_in_latent": [32, 64]},
-            },
+            "sub_groups_dict": sub_groups,
             "r1": 1,
             "d_every": 1,
             "g_reg_every": 4,
@@ -332,14 +341,14 @@ class Evaluator:
 
 
 def run(iters: int = 600, eval_every: int = 100, seed: int = 0,
-        out_path: str | None = None) -> list[dict]:
+        out_path: str | None = None, random_mode: bool = False) -> list[dict]:
     """Train blob world through the REAL GeneratorTrainer; returns the eval
     records (first = initialization, last = final)."""
     from gan_control_tpu.trainers.generator_trainer import GeneratorTrainer
 
     specs, params = make_toy_attr_losses()
     trainer = GeneratorTrainer(
-        config=toy_config(iters, seed),
+        config=toy_config(iters, seed, random_mode=random_mode),
         init_dirs=False,
         attr_losses=specs,
         predictor_params=params,
@@ -404,18 +413,24 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--random-mode", action="store_true",
+                    help="mini_batch_mode='random' (per-step Arrangement "
+                         "arrays through the masked contrastive path)")
     ap.add_argument("--out", default="/tmp/convergence.jsonl")
     args = ap.parse_args()
 
     import jax
 
-    if jax.default_backend() != "cpu":
-        # blob world is CPU-scale; also keeps the harness deterministic
-        jax.config.update("jax_platforms", "cpu")
+    # blob world is CPU-scale (and deterministic there). Force the CPU
+    # platform WITHOUT probing jax.default_backend() first: the probe
+    # initializes the box's pinned remote-TPU backend, which blocks on the
+    # tunnel when the chip is busy — the harness never needs it
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    records = run(args.iters, args.eval_every, args.seed, args.out)
+    records = run(args.iters, args.eval_every, args.seed, args.out,
+                  random_mode=args.random_mode)
     v = verdict(records)
     print(json.dumps(v), flush=True)
     if args.out:
