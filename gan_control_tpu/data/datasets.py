@@ -224,6 +224,10 @@ def get_data_loader(
     instead (its shuffle lives in C++): statistically equivalent and
     IO-disjoint, but not bit-identical to the single-host stream."""
     name = data_config.get("data_set_name", "ffhq")
+    if batch_size % num_shards:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by {num_shards} hosts"
+        )
     if name == "synthetic":
         return synthetic_data_loader(batch_size, size, seed,
                                      shard_index=shard_index, num_shards=num_shards)
