@@ -278,9 +278,9 @@ class GeneratorTrainer:
     def _put_batch(self, batch: np.ndarray) -> jax.Array:
         if jax.process_count() > 1:
             # `batch` is this host's row shard (the sharded loader's output)
-            return jax.make_array_from_process_local_data(
-                self.batch_sharding, np.asarray(batch)
-            )
+            from gan_control_tpu.utils.multihost import host_local_to_global
+
+            return host_local_to_global(np.asarray(batch), self.mesh)
         return jax.device_put(batch, self.batch_sharding)
 
     def _put_global_rows(self, full: np.ndarray) -> jax.Array:
@@ -290,9 +290,18 @@ class GeneratorTrainer:
         that host-side random DECISIONS (mixing_noise's 1-vs-2 style count)
         stay in lockstep so all processes enqueue the same programs."""
         if jax.process_count() > 1:
-            rows = full.shape[0] // jax.process_count()
+            from gan_control_tpu.utils.multihost import host_local_to_global
+
+            pc = jax.process_count()
+            if full.shape[0] % pc:
+                # silently dropping the remainder rows would diverge from
+                # single-host semantics with no error
+                raise ValueError(
+                    f"global rows {full.shape[0]} not divisible by {pc} hosts"
+                )
+            rows = full.shape[0] // pc
             local = full[jax.process_index() * rows : (jax.process_index() + 1) * rows]
-            return jax.make_array_from_process_local_data(self.batch_sharding, local)
+            return host_local_to_global(local, self.mesh)
         return jax.device_put(full, self.batch_sharding)
 
     def _sample_z(self, batch: int):
@@ -356,6 +365,12 @@ class GeneratorTrainer:
         # holding the original references would restore dead buffers
         saved_state = jax.tree_util.tree_map(jnp.copy, self.state)
         saved_rng_state = self._host_rng.bit_generator.state
+        # random mini-batch mode: the arrangement stream must not advance
+        # either (it feeds the g_step and, multi-host, must stay in lockstep)
+        saved_arr_state = (
+            self._arrangement_rng.bit_generator.state
+            if self._arrangement_rng is not None else None
+        )
         self.loader = synthetic_data_loader(
             self.tc["batch"], self.mc["size"],
             shard_index=jax.process_index(), num_shards=jax.process_count(),
@@ -368,6 +383,8 @@ class GeneratorTrainer:
         self.loader = saved_loader
         self.state = saved_state
         self._host_rng.bit_generator.state = saved_rng_state
+        if saved_arr_state is not None:
+            self._arrangement_rng.bit_generator.state = saved_arr_state
         return m
 
     def train(self, num_iters: int | None = None):

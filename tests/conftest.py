@@ -18,9 +18,15 @@ import sys
 # if the toolchain itself is absent do the tests skip — loudly, below.
 _native_dir = pathlib.Path(__file__).resolve().parent.parent / "native"
 if shutil.which("g++") and shutil.which("make"):
-    _build = subprocess.run(
-        ["make", "-C", str(_native_dir)], capture_output=True, text=True
-    )
+    try:
+        _build = subprocess.run(
+            ["make", "-C", str(_native_dir)], capture_output=True, text=True,
+            timeout=120,
+        )
+    except subprocess.TimeoutExpired as e:
+        _build = subprocess.CompletedProcess(
+            e.cmd, returncode=1, stdout="", stderr="make timed out after 120s"
+        )
     if _build.returncode != 0:
         print(
             "conftest: `make -C native` FAILED — native-loader tests will "

@@ -37,11 +37,12 @@ def test_host_local_to_global_roundtrip():
     assert float(total) == float(local.sum())
 
 
-def test_two_process_distributed():
-    """initialize() + host_local_to_global with process_count==2 for real:
-    two cooperating processes form a 2x2-device CPU 'slice', assemble a
-    host-spanning global batch, and run a jitted cross-host reduction
-    (SURVEY.md §5.8 — the reference has no multi-host path at all)."""
+def _run_two_workers(mode_args: list, timeout: float) -> list:
+    """Spawn the two cooperating _multihost_worker.py processes and return
+    their outputs. The ephemeral-port probe (bind/close, then hand the port
+    to jax.distributed) has a TOCTOU window; losing it surfaces as a worker
+    failure whose output names the port — keep the scaffolding here so a
+    future retry lands in one place."""
     import socket
     import subprocess
     import sys
@@ -54,7 +55,7 @@ def test_two_process_distributed():
     worker = Path(__file__).parent / "_multihost_worker.py"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), str(port)],
+            [sys.executable, str(worker), str(i), str(port), *mode_args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
@@ -62,7 +63,7 @@ def test_two_process_distributed():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -70,6 +71,16 @@ def test_two_process_distributed():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    return outs
+
+
+def test_two_process_distributed():
+    """initialize() + host_local_to_global with process_count==2 for real:
+    two cooperating processes form a 2x2-device CPU 'slice', assemble a
+    host-spanning global batch, and run a jitted cross-host reduction
+    (SURVEY.md §5.8 — the reference has no multi-host path at all)."""
+    outs = _run_two_workers([], timeout=180)
+    for i, out in enumerate(outs):
         assert f"RESULT {i} 2 4x4 8.0" in out, out
 
 
@@ -121,35 +132,9 @@ def test_two_process_generator_trainer():
     Both processes must report IDENTICAL finite metrics — the train state
     is replicated, so any divergence means the hosts fell out of SPMD
     lockstep."""
-    import socket
-    import subprocess
-    import sys
-    from pathlib import Path
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    worker = Path(__file__).parent / "_multihost_worker.py"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(i), str(port), "trainer"],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    outs = _run_two_workers(["trainer"], timeout=600)
     results = []
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    for i, out in enumerate(outs):
         lines = [l for l in out.splitlines() if l.startswith(f"RESULT {i} 2 trainer")]
         assert lines, out
         results.append(lines[0].split("trainer", 1)[1])

@@ -126,6 +126,13 @@ def test_trainer_random_mini_batch_mode(tmp_path):
     # per-step placements did NOT trigger recompiles
     assert trainer._g_step._cache_size() == compiles_after_first
 
+    # dry_run must not advance the ARRANGEMENT stream either (it restores
+    # the host rng; in random mode a perturbed placement stream would
+    # diverge a resumed run — and, multi-host, break SPMD lockstep)
+    before = trainer._arrangement_rng.bit_generator.state
+    trainer.dry_run()
+    assert trainer._arrangement_rng.bit_generator.state == before
+
 
 def test_shipped_configs_have_inception_weights():
     """Config-schema check: every shipped fid block carries the pretrained

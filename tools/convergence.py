@@ -387,13 +387,15 @@ def run(iters: int = 600, eval_every: int = 100, seed: int = 0,
 def verdict(records: list[dict]) -> dict:
     """The convergence claims, as booleans (the test asserts these)."""
     first, last = records[0], records[-1]
-    d_first = records[1]["d_loss_recent"] if len(records) > 1 else float("inf")
-    d_last = last.get("d_loss_recent", float("inf"))
+    # None (JSON null), not inf: json.dumps would emit bare `Infinity`,
+    # which strict JSON parsers reject in the output .jsonl
+    d_first = records[1].get("d_loss_recent") if len(records) > 1 else None
+    d_last = last.get("d_loss_recent")
     init_untrained_d = 2.0 * float(np.log(2.0))  # logistic loss of a blind D
     return {
         "fid_proxy_improved": last["fid_proxy"] < 0.5 * first["fid_proxy"],
         "ema_fid_proxy_improved": last["ema_fid_proxy"] < 0.5 * first["ema_fid_proxy"],
-        "d_below_untrained": d_last < init_untrained_d,
+        "d_below_untrained": d_last is not None and d_last < init_untrained_d,
         "color_disentangled": last["color_ratio"] < 0.5 * max(first["color_ratio"], 1e-9)
         and last["color_ratio"] < 0.5,
         "position_disentangled": last["position_ratio"]
@@ -403,8 +405,8 @@ def verdict(records: list[dict]) -> dict:
         and last["ema_position_ratio"] < 0.5,
         "init_fid_proxy": round(first["fid_proxy"], 4),
         "final_fid_proxy": round(last["fid_proxy"], 4),
-        "d_loss_first_window": round(d_first, 4),
-        "d_loss_last_window": round(d_last, 4),
+        "d_loss_first_window": None if d_first is None else round(d_first, 4),
+        "d_loss_last_window": None if d_last is None else round(d_last, 4),
     }
 
 

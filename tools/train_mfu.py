@@ -5,8 +5,9 @@ Usage:  python tools/train_mfu.py [--measure]
 For each of the four train executables (d_step, g_step with the full
 contrastive battery, d_reg_step, g_reg_step) this prints XLA's own cost
 analysis — FLOPs and HBM bytes accessed — plus, with ``--measure``, the
-same-process median wall-clock and the implied MFU against the v5e peak
-(197 TFLOP/s bf16 / 98.5 f32). This separates "the step is slow because
+same-process back-to-back mean wall-clock (8 donated runs enqueued
+unsynced, one scalar-fetch sync at the end so the tunnel RTT amortizes)
+and the implied MFU against the v5e peak (197 TFLOP/s bf16 / 98.5 f32). This separates "the step is slow because
 the graph does too many FLOPs" from "the step is slow because the chip is
 idle" so optimization work targets the real limiter. Developer tool; not
 part of the driver contract (bench.py is).
