@@ -659,7 +659,8 @@ class GeneratorTrainer:
                 self.step_cfg.style_dim,
                 mesh=self.mesh,
             )
-            self._fid_inception_params = jax.device_put(params, self.replicated)
+            # _replicate, not device_put: the mesh may span processes
+            self._fid_inception_params = self._replicate(params)
         fused, inception_params = self._fid_feature_fn, self._fid_inception_params
         g_ema = self.state.g_ema
 

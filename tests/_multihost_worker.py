@@ -96,6 +96,24 @@ def trainer_smoke(idx: int, count: int, mesh):
         "monitor_config": {"enabled": False},
         "ckpt_config": {"enabled": False, "ckpt": "no_ckpt"},
     }
+    import tempfile
+
+    from gan_control_tpu.evaluation import fid as fid_lib
+
+    # the sharded-FID eval branch: random-weight Inception (the explicit
+    # smoke escape) + a synthetic real-stats pickle; the [chunk, 2048]
+    # features are batch-sharded ACROSS HOSTS and all-gathered, so both
+    # processes must compute the identical score
+    stats_path = tempfile.mktemp(suffix=f".{idx}.pkl")
+    fid_lib.save_stats(
+        stats_path, np.zeros((2048,), np.float64), np.eye(2048, dtype=np.float64)
+    )
+    config["evaluation_config"]["fid"] = {
+        "enabled": True, "inception_stat_path": stats_path,
+        "inception_weights": "__random__", "num_of_samples": 16,
+        "batch_size": 8,
+    }
+
     trainer = GeneratorTrainer(config=config, init_dirs=False, mesh=mesh)
     assert trainer.mesh.devices.size == 4
 
@@ -104,8 +122,12 @@ def trainer_smoke(idx: int, count: int, mesh):
         metrics = trainer.one_iteration(i)
         vals.append((float(metrics["d_loss"]), float(metrics["g_loss"])))
     assert all(np.isfinite(v) for pair in vals for v in pair), vals
+
+    fid = trainer.evaluate_fid()
+    assert fid is not None and np.isfinite(fid), fid
+
     flat = " ".join(f"{v:.6f}" for pair in vals for v in pair)
-    print(f"RESULT {idx} {count} trainer {flat}", flush=True)
+    print(f"RESULT {idx} {count} trainer {flat} fid={fid:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -169,14 +169,21 @@ def make_toy_attr_losses():
     return specs, params
 
 
-def toy_config(iters: int, seed: int = 0, random_mode: bool = False) -> dict:
+def toy_config(iters: int, seed: int = 0, random_mode: bool = False,
+               ada: bool = False) -> dict:
     """Tiny blob-world config: 32x32, 2 latent groups, split_fc mapping —
     the FFHQ schema (configs/ffhq.json) shrunk to CPU scale.
 
     ``random_mode`` switches to mini_batch_mode='random' (the reference's
     RandomMiniBatchUtils: a FRESH random group slot placement every step,
     fed into one compiled g_step as Arrangement arrays), so the harness
-    also proves the contrastive_loss_masked path LEARNS."""
+    also proves the contrastive_loss_masked path LEARNS.
+
+    ``ada`` enables adaptive discriminator augmentation (p=0 -> adapt
+    toward ada_target from sign(real logits), reference
+    generator_trainer.py:669-688) with a short ada_length so the
+    adaptation is visible within the run — evidencing the non-leaking
+    augmentation pipeline ENGAGES during learning, not just in oracles."""
     sub_groups = {
         "color": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 32]},
         "position": {"place_in_mini_batch": [4, 8], "place_in_latent": [32, 64]},
@@ -207,7 +214,11 @@ def toy_config(iters: int, seed: int = 0, random_mode: bool = False) -> dict:
             "batch": BATCH,
             "mini_batch": BATCH,
             "mini_batch_mode": "random" if random_mode else "normal",
-            "augment": {"enabled": False},
+            "augment": (
+                {"enabled": True, "p": 0, "ada_target": 0.6,
+                 "ada_length": 5000}
+                if ada else {"enabled": False}
+            ),
             "sub_groups_dict": sub_groups,
             "r1": 1,
             "d_every": 1,
@@ -341,14 +352,15 @@ class Evaluator:
 
 
 def run(iters: int = 600, eval_every: int = 100, seed: int = 0,
-        out_path: str | None = None, random_mode: bool = False) -> list[dict]:
+        out_path: str | None = None, random_mode: bool = False,
+        ada: bool = False) -> list[dict]:
     """Train blob world through the REAL GeneratorTrainer; returns the eval
     records (first = initialization, last = final)."""
     from gan_control_tpu.trainers.generator_trainer import GeneratorTrainer
 
     specs, params = make_toy_attr_losses()
     trainer = GeneratorTrainer(
-        config=toy_config(iters, seed, random_mode=random_mode),
+        config=toy_config(iters, seed, random_mode=random_mode, ada=ada),
         init_dirs=False,
         attr_losses=specs,
         predictor_params=params,
@@ -378,6 +390,8 @@ def run(iters: int = 600, eval_every: int = 100, seed: int = 0,
             recent = float(np.mean(d_losses[-min(50, len(d_losses)):]))
             rec = ev.checkpoint(trainer.state, i + 1, recent)
             rec["seconds"] = round(time.time() - t0, 1)
+            if "ada_p" in metrics:
+                rec["ada_p"] = float(metrics["ada_p"])
             emit(rec)
     if out:
         out.close()
@@ -392,7 +406,14 @@ def verdict(records: list[dict]) -> dict:
     d_first = records[1].get("d_loss_recent") if len(records) > 1 else None
     d_last = last.get("d_loss_recent")
     init_untrained_d = 2.0 * float(np.log(2.0))  # logistic loss of a blind D
-    return {
+    ada = (
+        # adaptation engaged: p moved off its 0 start (the blob D overfits
+        # fast, so sign(real logits) drives p UP toward ada_target)
+        {"ada_p_final": round(last["ada_p"], 4), "ada_adapted": last["ada_p"] > 0}
+        if "ada_p" in last
+        else {}
+    )
+    return ada | {
         "fid_proxy_improved": last["fid_proxy"] < 0.5 * first["fid_proxy"],
         "ema_fid_proxy_improved": last["ema_fid_proxy"] < 0.5 * first["ema_fid_proxy"],
         "d_below_untrained": d_last is not None and d_last < init_untrained_d,
@@ -418,6 +439,9 @@ def main() -> int:
     ap.add_argument("--random-mode", action="store_true",
                     help="mini_batch_mode='random' (per-step Arrangement "
                          "arrays through the masked contrastive path)")
+    ap.add_argument("--ada", action="store_true",
+                    help="enable adaptive discriminator augmentation "
+                         "(short ada_length so the p adaptation is visible)")
     ap.add_argument("--out", default="/tmp/convergence.jsonl")
     args = ap.parse_args()
 
@@ -432,7 +456,7 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     records = run(args.iters, args.eval_every, args.seed, args.out,
-                  random_mode=args.random_mode)
+                  random_mode=args.random_mode, ada=args.ada)
     v = verdict(records)
     print(json.dumps(v), flush=True)
     if args.out:
