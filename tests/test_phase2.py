@@ -604,3 +604,61 @@ def test_controller_attribute_rec_self_built(phase1_dir, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="expression_q"):
         ControllerTrainer(config=cfg_for("expression_loss", 8, "expression_q"),
                           init_dirs=False)
+
+
+@pytest.mark.slow
+def test_controller_learns_latent_map(phase1_dir, tmp_path):
+    """Phase-2b LEARNS, not just runs: when the attributes DataFrame encodes
+    a learnable relationship — the orientation group's w slice is a fixed
+    linear map of the orientation control — the controller MLP must FIT it:
+    the latent_rec training loss and the held-out eval_latent_rec both
+    collapse relative to initialization. The phase-2 analog of the phase-1
+    blob-world convergence harness (tools/convergence.py); the reference's
+    de-facto check was watching latent_rec fall during real controller
+    training (reference controller_trainer.py:292-335 eval loop)."""
+    from gan_control_tpu.trainers.controller_trainer import ControllerTrainer
+
+    rng = np.random.default_rng(7)
+    n = 512
+    A = rng.normal(size=(3, 32)).astype(np.float32) * 0.3
+    b = rng.normal(size=(32,)).astype(np.float32) * 0.1
+    controls = rng.normal(size=(n, 3)).astype(np.float32)
+    w = rng.normal(size=(n, STYLE)).astype(np.float32)
+    w[:, 0:32] = controls @ A + b  # the orientation group slice IS f(control)
+    df = pd.DataFrame(
+        {
+            "orientation": list(controls),
+            "latents_w": list(w),
+        }
+    )
+    df_path = tmp_path / "learnable_df.pkl"
+    df.to_pickle(df_path)
+
+    iters = 600
+    cfg = {
+        "save_name": "learns",
+        # lr_mlp=1.0: the reference's 0.01 equalized-lr scaling is sized for
+        # its 800K-iteration schedule; this test checks the MACHINERY learns
+        # in 600 iters, so run the MLP at unscaled lr
+        "model_config": {"latent_size": STYLE, "size": SIZE, "lr_mlp": 1.0,
+                         "n_mlp": 2, "in_dim": 3, "mid_dim": 64,
+                         "loss": "orientation_loss"},
+        "training_config": {
+            "rec_loss": "l1", "generator_dir": str(phase1_dir), "iter": iters,
+            "batch": 32, "reg_every": 4, "lr": 0.01,
+            "generate_controls": "sampled_df", "sampled_df_path": str(df_path),
+            "min_evaluate_interval": 100, "save_nets_interval": 10**9,
+            "losses": ["latent_rec"],
+        },
+    }
+    tr = ControllerTrainer(config=cfg, init_dirs=False)
+    tr.train(iters)
+
+    hist = tr.metrics_history
+    first, last = hist[0], hist[-1]
+    # training loss collapses (tiny MLP on an exactly-representable map;
+    # reference run on this box: 0.914 -> 0.041 — 0.15 is a robust margin)
+    assert last["latent_rec_loss"] < 0.15 * first["latent_rec_loss"], (first, last)
+    # ...and GENERALIZES: the held-out 10% split improves just as much
+    # (0.742 -> 0.046 in the reference run)
+    assert last["eval_latent_rec"] < 0.15 * first["eval_latent_rec"], (first, last)
