@@ -170,7 +170,7 @@ def make_toy_attr_losses():
 
 
 def toy_config(iters: int, seed: int = 0, random_mode: bool = False,
-               ada: bool = False) -> dict:
+               ada: bool = False, bf16: bool = False) -> dict:
     """Tiny blob-world config: 32x32, 2 latent groups, split_fc mapping —
     the FFHQ schema (configs/ffhq.json) shrunk to CPU scale.
 
@@ -183,7 +183,12 @@ def toy_config(iters: int, seed: int = 0, random_mode: bool = False,
     toward ada_target from sign(real logits), reference
     generator_trainer.py:669-688) with a short ada_length so the
     adaptation is visible within the run — evidencing the non-leaking
-    augmentation pipeline ENGAGES during learning, not just in oracles."""
+    augmentation pipeline ENGAGES during learning, not just in oracles.
+
+    ``bf16`` turns on the shipped mixed-precision plan
+    (model_config.mixed_precision, utils/precision.py roles) so a
+    real-chip run evidences the bf16 TRAINING path converging on
+    hardware, not just staying finite."""
     sub_groups = {
         "color": {"place_in_mini_batch": [0, 4], "place_in_latent": [0, 32]},
         "position": {"place_in_mini_batch": [4, 8], "place_in_latent": [32, 64]},
@@ -205,6 +210,7 @@ def toy_config(iters: int, seed: int = 0, random_mode: bool = False,
             "channel_multiplier": 0.5,
             "max_channels": 64,
             "g_noise_mode": "normal",
+            "mixed_precision": bf16,
         },
         "training_config": {
             "debug": False,
@@ -353,14 +359,15 @@ class Evaluator:
 
 def run(iters: int = 600, eval_every: int = 100, seed: int = 0,
         out_path: str | None = None, random_mode: bool = False,
-        ada: bool = False) -> list[dict]:
+        ada: bool = False, bf16: bool = False) -> list[dict]:
     """Train blob world through the REAL GeneratorTrainer; returns the eval
     records (first = initialization, last = final)."""
     from gan_control_tpu.trainers.generator_trainer import GeneratorTrainer
 
     specs, params = make_toy_attr_losses()
     trainer = GeneratorTrainer(
-        config=toy_config(iters, seed, random_mode=random_mode, ada=ada),
+        config=toy_config(iters, seed, random_mode=random_mode, ada=ada,
+                          bf16=bf16),
         init_dirs=False,
         attr_losses=specs,
         predictor_params=params,
@@ -442,21 +449,33 @@ def main() -> int:
     ap.add_argument("--ada", action="store_true",
                     help="enable adaptive discriminator augmentation "
                          "(short ada_length so the p adaptation is visible)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="train under the shipped mixed-precision plan "
+                         "(pairs with --platform tpu: bf16 convergence on "
+                         "real hardware)")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="cpu (default; blob world is CPU-scale and "
+                         "deterministic there) or tpu: leave the box's "
+                         "pinned TPU backend active and use its compile "
+                         "cache — evidences convergence on real silicon")
     ap.add_argument("--out", default="/tmp/convergence.jsonl")
     args = ap.parse_args()
 
     import jax
 
-    # blob world is CPU-scale (and deterministic there). Force the CPU
-    # platform WITHOUT probing jax.default_backend() first: the probe
-    # initializes the box's pinned remote-TPU backend, which blocks on the
-    # tunnel when the chip is busy — the harness never needs it
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    if args.platform == "cpu":
+        # Force the CPU platform WITHOUT probing jax.default_backend()
+        # first: the probe initializes the box's pinned remote-TPU backend,
+        # which blocks on the tunnel when the chip is busy — the CPU
+        # harness never needs it
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     records = run(args.iters, args.eval_every, args.seed, args.out,
-                  random_mode=args.random_mode, ada=args.ada)
+                  random_mode=args.random_mode, ada=args.ada, bf16=args.bf16)
     v = verdict(records)
     print(json.dumps(v), flush=True)
     if args.out:
