@@ -370,7 +370,13 @@ def make_train_steps(
         )
 
     def d_reg_step(state: GANTrainState, real_img: jax.Array):
-        rng, r_aug = jax.random.split(state.rng)
+        # R1 runs on UNAUGMENTED reals by design: the reference's
+        # discriminator_regularize_step never calls augment() (reference
+        # generator_trainer.py:699-706) — a deliberate deviation from
+        # upstream rosinality, which augments the R1 forward. The split
+        # only advances the key stream (kept for stream stability with
+        # the committed convergence runs); the key itself is unused.
+        rng, _unused_aug = jax.random.split(state.rng)
 
         def loss_fn(d_params):
             def logit(x):

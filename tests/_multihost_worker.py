@@ -65,10 +65,26 @@ def trainer_smoke(idx: int, count: int, mesh):
     sharded synthetic loader gives each host half the global batch, the
     train state is replicated over the DCN-spanning mesh, and the SPMD
     steps all-reduce gradients across hosts. Metrics are replicated
-    scalars, so both processes must print the SAME values."""
+    scalars, so both processes must print the SAME values.
+
+    The FID eval runs too — the sharded-FID branch: random-weight
+    Inception (the explicit smoke escape) + a synthetic real-stats
+    pickle; the [chunk, 2048] features are batch-sharded ACROSS HOSTS
+    and all-gathered, so both processes must compute the identical
+    score."""
+    import shutil
+    import tempfile
+
     import numpy as np
 
+    from gan_control_tpu.evaluation import fid as fid_lib
     from gan_control_tpu.trainers.generator_trainer import GeneratorTrainer
+
+    stats_dir = tempfile.mkdtemp(prefix=f"mh_fid_stats_{idx}_")
+    stats_path = f"{stats_dir}/stats.pkl"
+    fid_lib.save_stats(
+        stats_path, np.zeros((2048,), np.float64), np.eye(2048, dtype=np.float64)
+    )
 
     config = {
         "model_config": {
@@ -90,28 +106,17 @@ def trainer_smoke(idx: int, count: int, mesh):
             "path_regularize": 2, "path_batch_shrink": 2, "mixing": 0,
         },
         "data_config": {"data_set_name": "synthetic", "path": ""},
-        "evaluation_config": {"fid": {"enabled": False},
-                              "separability": {"enabled": False}},
+        "evaluation_config": {
+            "fid": {
+                "enabled": True, "inception_stat_path": stats_path,
+                "inception_weights": "__random__", "num_of_samples": 16,
+                "batch_size": 8,
+            },
+            "separability": {"enabled": False},
+        },
         "tensorboard_config": {"enabled": False},
         "monitor_config": {"enabled": False},
         "ckpt_config": {"enabled": False, "ckpt": "no_ckpt"},
-    }
-    import tempfile
-
-    from gan_control_tpu.evaluation import fid as fid_lib
-
-    # the sharded-FID eval branch: random-weight Inception (the explicit
-    # smoke escape) + a synthetic real-stats pickle; the [chunk, 2048]
-    # features are batch-sharded ACROSS HOSTS and all-gathered, so both
-    # processes must compute the identical score
-    stats_path = tempfile.mktemp(suffix=f".{idx}.pkl")
-    fid_lib.save_stats(
-        stats_path, np.zeros((2048,), np.float64), np.eye(2048, dtype=np.float64)
-    )
-    config["evaluation_config"]["fid"] = {
-        "enabled": True, "inception_stat_path": stats_path,
-        "inception_weights": "__random__", "num_of_samples": 16,
-        "batch_size": 8,
     }
 
     trainer = GeneratorTrainer(config=config, init_dirs=False, mesh=mesh)
@@ -124,6 +129,7 @@ def trainer_smoke(idx: int, count: int, mesh):
     assert all(np.isfinite(v) for pair in vals for v in pair), vals
 
     fid = trainer.evaluate_fid()
+    shutil.rmtree(stats_dir, ignore_errors=True)
     assert fid is not None and np.isfinite(fid), fid
 
     flat = " ".join(f"{v:.6f}" for pair in vals for v in pair)

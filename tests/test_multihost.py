@@ -132,7 +132,9 @@ def test_two_process_generator_trainer():
     Both processes must report IDENTICAL finite metrics — the train state
     is replicated, so any divergence means the hosts fell out of SPMD
     lockstep."""
-    outs = _run_two_workers(["trainer"], timeout=600)
+    # FID adds an Inception compile + a 2048^2 host sqrtm on top of
+    # the four trainer-step compiles: give cold caches headroom
+    outs = _run_two_workers(["trainer"], timeout=1500)
     results = []
     for i, out in enumerate(outs):
         lines = [l for l in out.splitlines() if l.startswith(f"RESULT {i} 2 trainer")]

@@ -477,6 +477,10 @@ def main() -> int:
     records = run(args.iters, args.eval_every, args.seed, args.out,
                   random_mode=args.random_mode, ada=args.ada, bf16=args.bf16)
     v = verdict(records)
+    if args.ada and "ada_adapted" not in v:
+        # --ada was the point: if no eval record carried ada_p (e.g.
+        # iters < eval-every), fail instead of silently passing
+        v["ada_adapted"] = False
     print(json.dumps(v), flush=True)
     if args.out:
         with open(args.out, "a") as f:
