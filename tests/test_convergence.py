@@ -48,3 +48,48 @@ def test_blob_world_convergence():
     assert last["ema_fid_proxy"] < 0.25 * first["ema_fid_proxy"], (first, last)
     assert last["ema_color_ratio"] < 0.55, last
     assert last["ema_position_ratio"] < 0.55, last
+
+
+def test_committed_run_artifacts_hold_their_verdicts():
+    """The committed convergence runs (tools/results/*.jsonl — normal,
+    random-arrangement, ADA, and on-chip bf16) are self-consistent and
+    still evidence learning: the stored verdict line matches a fresh
+    verdict() of the eval records (artifact integrity), every core
+    learning boolean holds, and the runs that measured ADA adaptation
+    show p moved off 0. The one documented exception: random-arrangement
+    color_disentangled is false at the final snapshot (noisier by
+    construction — TRAINING.md), so for it the mechanism must instead
+    visibly ENGAGE mid-run (min ratio < 0.5x init)."""
+    import json
+    from pathlib import Path
+
+    results = Path(__file__).parent.parent / "tools" / "results"
+    paths = sorted(results.glob("convergence_run*.jsonl"))
+    assert len(paths) >= 4, paths  # normal, random, ada, tpu_bf16
+
+    core = ["fid_proxy_improved", "ema_fid_proxy_improved",
+            "d_below_untrained", "position_disentangled", "ema_tracks"]
+    for path in paths:
+        records = [json.loads(l) for l in path.read_text().splitlines()]
+        evals = [r for r in records if "iter" in r]
+        assert evals[0]["iter"] == 0 and evals[-1]["iter"] >= 600, path
+        v = convergence.verdict(evals)
+        stored = records[-1]
+        assert "iter" not in stored, (path, "missing trailing verdict line")
+        for k, x in v.items():
+            got = stored.get(k)
+            if isinstance(x, bool) or x is None:
+                assert got == x, (path, k, got, x)
+            else:
+                # numeric fields recompute from the ROUNDED jsonl records,
+                # so the 4th decimal can differ from the live-run verdict
+                assert got is not None and abs(got - x) <= 1e-3, (path, k, got, x)
+        for k in core:
+            assert v[k] is True, (path, k, v)
+        if v["color_disentangled"] is not True:
+            assert "random" in path.name, (path, v)
+            ratios = [r["color_ratio"] for r in evals]
+            # TRAINING.md documents 0.62 -> 0.33-0.46 for this mode
+            assert min(ratios) < 0.35 and ratios[-1] < 0.5, (path, ratios)
+        if "ada" in path.name:
+            assert v.get("ada_adapted") is True, (path, v)
