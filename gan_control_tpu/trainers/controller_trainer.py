@@ -206,11 +206,22 @@ class ControllerTrainer:
         self._eval_fn = jax.jit(self._make_eval())
         self.metrics_history: list[dict] = []
 
-    def _put_batch(self, arr) -> jax.Array:
-        """Shard a host batch over 'data'; an indivisible batch (e.g. the
-        50-row eval chunks on an 8-chip mesh) falls back to replication."""
+    def _put_batch(self, arr, *, train: bool = False) -> jax.Array:
+        """Shard a host batch over 'data'. Only EVAL batches (e.g. the
+        50-row eval chunks on an 8-chip mesh) may fall back to
+        replication when indivisible; a TRAIN batch doing so would
+        silently run the full frozen-G synthesis on every chip — zero
+        data parallelism — so that is a config error, raised loudly
+        (matching GeneratorTrainer's divisibility contract)."""
         arr = np.asarray(arr)
         divisible = arr.shape[0] % self.mesh.devices.size == 0
+        if train and not divisible:
+            raise ValueError(
+                f"training batch {arr.shape[0]} not divisible by the "
+                f"{self.mesh.devices.size}-device mesh — every chip would "
+                "redundantly recompute the whole batch; pick a divisible "
+                "training_config.batch"
+            )
         return jax.device_put(
             arr, self.batch_sharding if divisible else self.replicated
         )
@@ -414,7 +425,10 @@ class ControllerTrainer:
             controls, w = next(self.loader)
             rng, k = jax.random.split(rng)
             self.state, metrics = self._step_fn(
-                self.state, self._put_batch(controls), self._put_batch(w), k,
+                self.state,
+                self._put_batch(controls, train=True),
+                self._put_batch(w, train=True),
+                k,
                 self.g_params, self._attr_pred_params,
             )
             if i % eval_interval == 0:

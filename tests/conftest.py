@@ -19,10 +19,19 @@ import sys
 _native_dir = pathlib.Path(__file__).resolve().parent.parent / "native"
 if shutil.which("g++") and shutil.which("make"):
     try:
-        _build = subprocess.run(
-            ["make", "-C", str(_native_dir)], capture_output=True, text=True,
-            timeout=120,
-        )
+        # serialize concurrent pytest sessions (CI shards, xdist): two
+        # overlapping `make` runs writing the same .so corrupt it
+        import fcntl
+
+        with open("/tmp/gcdata_build.lock", "w") as _lockf:
+            fcntl.flock(_lockf, fcntl.LOCK_EX)
+            try:
+                _build = subprocess.run(
+                    ["make", "-C", str(_native_dir)], capture_output=True,
+                    text=True, timeout=120,
+                )
+            finally:
+                fcntl.flock(_lockf, fcntl.LOCK_UN)
     except subprocess.TimeoutExpired as e:
         _build = subprocess.CompletedProcess(
             e.cmd, returncode=1, stdout="", stderr="make timed out after 120s"

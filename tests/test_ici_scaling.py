@@ -94,6 +94,23 @@ def test_shape_parser_handles_tuples_and_layouts():
     assert got["all-gather"] == 8 * 128 * 2
 
 
+def test_shape_parser_handles_tpu_layouts_and_async_pairs():
+    # real-TPU HLO flavor: tiled layouts carry parens inside the braces,
+    # big combined tuples carry /*index=N*/ comments, and the async
+    # -start shapes differ per op: all-gather-start pairs
+    # (operand, result) while all-reduce-start is results-only
+    hlo = (
+        "  %ar = (f32[3]{0:T(8)}, /*index=1*/f32[5,2]{1,0:T(8,128)}) "
+        "all-reduce(%a, %b)\n"
+        "  %ags = (bf16[4,128]{1,0:T(8,128)(2,1)}, bf16[16,128]{1,0}) "
+        "all-gather-start(%c)\n"
+        "  %ars = (f32[9]{0}, f32[9]{0}) all-reduce-start(%d, %e)\n"
+    )
+    got = collective_bytes(hlo)
+    assert got["all-reduce"] == (3 + 10) * 4 + 2 * 9 * 4  # variadic: both real
+    assert got["all-gather"] == (4 * 128 + 16 * 128) * 2 // 2  # pair halved
+
+
 def test_projection_is_near_linear_weak_scaling():
     rows = project_scaling({"g": 120_000_000, "d": 115_000_000},
                            traffic_ratio=2.2)

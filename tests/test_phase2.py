@@ -712,3 +712,28 @@ def test_controller_learns_through_frozen_generator(phase1_dir, tmp_path):
     assert last["attribute_loss"] < 0.5 * first["attribute_loss"], (first, last)
     assert last["eval_attribute_loss"] < 0.65 * first["eval_attribute_loss"], (
         first, last)
+
+
+def test_put_batch_raises_on_indivisible_training_batch():
+    """A TRAIN batch that doesn't divide over the mesh must fail loudly —
+    the replication fallback is reserved for eval chunks; silently
+    replicating a training batch would run the full frozen-G synthesis
+    redundantly on every chip (zero data parallelism)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gan_control_tpu.trainers.controller_trainer import ControllerTrainer
+
+    tr = ControllerTrainer.__new__(ControllerTrainer)
+    tr.mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    tr.batch_sharding = NamedSharding(tr.mesh, P("data"))
+    tr.replicated = NamedSharding(tr.mesh, P())
+
+    arr = np.zeros((10, 3), np.float32)  # 10 % 4 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        tr._put_batch(arr, train=True)
+    # eval batches keep the documented replication fallback
+    out = tr._put_batch(arr)
+    assert out.shape == (10, 3)
+    # and a divisible train batch shards normally
+    ok = tr._put_batch(np.zeros((8, 3), np.float32), train=True)
+    assert ok.sharding.spec == P("data")

@@ -263,14 +263,20 @@ def _pixel_feats(images: np.ndarray) -> np.ndarray:
 
 def frechet_pixel_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     """Frechet distance between Gaussian fits of two pixel-feature sets
-    (same formula as evaluation/fid.py, on pixel stats instead of
-    InceptionV3 pools)."""
-    import scipy.linalg
+    (evaluation/fid.py's formula on pixel stats instead of InceptionV3
+    pools). Deliberately NOT fid.frechet_distance itself: untrained blob
+    images have near-constant features, so the covariances here are
+    routinely degenerate — an unconditional 1e-6 ridge + take-the-real-
+    part keeps the proxy total where the FID path prefers to raise
+    (a bogus best-FID checkpoint matters there; a proxy curve doesn't).
+    The matrix sqrt is shared (fid._sqrtm_psd: scipy when present,
+    eigendecomposition fallback otherwise)."""
+    from gan_control_tpu.evaluation.fid import _sqrtm_psd
 
     mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
     cov_a = np.cov(feats_a, rowvar=False) + 1e-6 * np.eye(feats_a.shape[1])
     cov_b = np.cov(feats_b, rowvar=False) + 1e-6 * np.eye(feats_b.shape[1])
-    covmean = scipy.linalg.sqrtm(cov_a @ cov_b)
+    covmean = _sqrtm_psd(cov_a @ cov_b)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     d2 = np.sum((mu_a - mu_b) ** 2) + np.trace(cov_a + cov_b - 2.0 * covmean)
@@ -313,11 +319,17 @@ class Evaluator:
             out.append(np.asarray(self._sample(g_params, z[s : s + 64], k)))
         return np.concatenate(out, 0)
 
-    def ratios(self, g_params) -> dict:
-        """Same/not-same toy-feature distance ratios per group."""
+    def ratios(self, g_params, imgs_a: np.ndarray | None = None) -> dict:
+        """Same/not-same toy-feature distance ratios per group.
+
+        ``imgs_a``: pass a cached zA sweep to skip regenerating it
+        (numerically identical — _gen's injection noise is keyed only on
+        the chunk offset)."""
         import jax.numpy as jnp
 
-        imgs_a = self._gen(g_params, self.zA)
+        if imgs_a is None:
+            imgs_a = self._gen(g_params, self.zA)
+        imgs_not = self._gen(g_params, self.zB)  # group-independent
         res = {}
         for gname, (lo, hi), feat in (
             ("color", (0, 32), color_feature),
@@ -326,7 +338,6 @@ class Evaluator:
             z_same = self.zB.copy()
             z_same[:, lo:hi] = self.zA[:, lo:hi]
             imgs_same = self._gen(g_params, z_same)
-            imgs_not = self._gen(g_params, self.zB)
             fa = np.asarray(feat(jnp.asarray(imgs_a)))
             fs = np.asarray(feat(jnp.asarray(imgs_same)))
             fn_ = np.asarray(feat(jnp.asarray(imgs_not)))
@@ -337,15 +348,22 @@ class Evaluator:
             res[f"{gname}_ratio"] = d_same / max(d_not, 1e-9)
         return res
 
-    def fid_proxy(self, g_params) -> float:
-        imgs = self._gen(g_params, self.zA)
+    def fid_proxy(self, g_params, imgs: np.ndarray | None = None) -> float:
+        if imgs is None:
+            imgs = self._gen(g_params, self.zA)
         return frechet_pixel_distance(self.real_feats, _pixel_feats(imgs))
 
     def checkpoint(self, state, it: int, d_loss_recent: float | None) -> dict:
-        rec = {"iter": it, "fid_proxy": self.fid_proxy(state.g_params),
-               "ema_fid_proxy": self.fid_proxy(state.g_ema)}
-        rec.update(self.ratios(state.g_params))
-        ema = self.ratios(state.g_ema)
+        # one zA sweep per params set, shared by fid_proxy and ratios
+        # (was 2x before; imgs_not is likewise hoisted out of the group
+        # loop inside ratios — on --platform tpu these are real chip time)
+        imgs_live = self._gen(state.g_params, self.zA)
+        imgs_ema = self._gen(state.g_ema, self.zA)
+        rec = {"iter": it,
+               "fid_proxy": self.fid_proxy(state.g_params, imgs_live),
+               "ema_fid_proxy": self.fid_proxy(state.g_ema, imgs_ema)}
+        rec.update(self.ratios(state.g_params, imgs_live))
+        ema = self.ratios(state.g_ema, imgs_ema)
         rec.update({f"ema_{k}": v for k, v in ema.items()})
         if d_loss_recent is not None:
             rec["d_loss_recent"] = d_loss_recent

@@ -64,10 +64,10 @@ _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 
 # `%name = SHAPE all-reduce(...)`; async pairs count the -start only
 # (the -done carries the same shape and would double-count). Tuple
-# shapes carry `/*index=N*/` comments, so exclude only parens — HLO
-# shape tuples never nest.
+# shapes carry `/*index=N*/` comments and, in TPU HLO, layouts with
+# parens (`{1,0:T(8,128)}`), so allow one nesting level of parens.
 _COLLECTIVE_RE = re.compile(
-    r"=\s*(\([^()]*\)|[a-z0-9]+\[[^\]]*\](?:\{[^}]*\})?)\s*"
+    r"=\s*(\((?:[^()]|\([^()]*\))*\)|[a-z0-9]+\[[^\]]*\](?:\{[^}]*\})?)\s*"
     r"(all-reduce-start|all-reduce|all-gather-start|all-gather|"
     r"reduce-scatter|collective-permute-start|collective-permute)\("
 )
@@ -91,7 +91,15 @@ def collective_bytes(hlo_text: str) -> dict[str, int]:
     out: dict[str, int] = {}
     for shape_text, op in _COLLECTIVE_RE.findall(hlo_text):
         kind = op.replace("-start", "")
-        out[kind] = out.get(kind, 0) + _shape_bytes(shape_text)
+        b = _shape_bytes(shape_text)
+        if (op in ("all-gather-start", "collective-permute-start")
+                and shape_text.startswith("(")):
+            # these async -start shapes pair (operand, result[, ctx]):
+            # counting the whole tuple would double the data actually
+            # moved. all-reduce-start is NOT halved — its shape is the
+            # result alone (tuple = variadic results, all real traffic).
+            b //= 2
+        out[kind] = out.get(kind, 0) + b
     return out
 
 
@@ -180,6 +188,12 @@ def measure_collectives(n_devices: int, batch: int) -> dict:
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, backend has {len(jax.devices())} "
+            "(run via `python tools/ici_scaling.py` so the 8-device CPU "
+            "flag is set before jax initializes)"
+        )
     steps, state, cfg, size, style = build_small_steps(batch)
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
     batch_sharding = NamedSharding(mesh, P("data"))
@@ -337,9 +351,15 @@ def main():
 
 
 if __name__ == "__main__":
-    os.environ.setdefault(
-        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-    )
+    # APPEND to any pre-existing XLA_FLAGS (setdefault would silently
+    # drop the 8-device request and the tool would then 'measure' a
+    # collective-free 1-device mesh)
+    _flags = [
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    ]
+    _flags.append("--xla_force_host_platform_device_count=8")
+    os.environ["XLA_FLAGS"] = " ".join(_flags)
     import jax
 
     # env var alone does not override the axon sitecustomize on this box
