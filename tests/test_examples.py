@@ -149,3 +149,25 @@ def test_inference_notebook_cells(controller_root, tmp_path, monkeypatch):
     assert sorted(ns["ctrl"].fc_controls) == ["orientation"]
     names = {p.name for p in out.iterdir()}
     assert {"samples.jpg", "controlled.jpg", "interp_orientation.gif"} <= names
+
+
+def test_serving_example_script(controller_root, tmp_path):
+    """The deployment walkthrough end-to-end on the tiny model: live
+    bucketed serving, StableHLO export, model-code-free reload, and the
+    in-script live-vs-exported parity assertion."""
+    out = tmp_path / "serve_out"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "serving_example.py"),
+         "--controller_dir", str(controller_root), "--out", str(out)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-3000:])
+    assert "exported path reproduces the live path" in proc.stdout
+    names = {p.name for p in out.iterdir()}
+    assert "served.jpg" in names
+    bins = list((out / "artifacts").glob("*.bin"))
+    assert bins and (out / "artifacts" / "manifest.json").exists()
