@@ -135,26 +135,45 @@ def infinite_loader(
 
     def producer():
         epoch = 0
-        while not stop.is_set():
-            perm = order_rng.permutation(len(dataset))
-            for s in range(0, len(perm) - batch_size + 1, batch_size):
-                if stop.is_set():
-                    return
-                idx = perm[s : s + batch_size][
-                    shard_index * local : (shard_index + 1) * local
-                ]
-                # the augment rng stays keyed by the GLOBAL batch offset +
-                # image index, so shards match the unsharded stream
-                q.put(make_batch(idx, epoch * 1_000_003 + s))
-            epoch += 1
+        try:
+            while not stop.is_set():
+                perm = order_rng.permutation(len(dataset))
+                for s in range(0, len(perm) - batch_size + 1, batch_size):
+                    if stop.is_set():
+                        return
+                    idx = perm[s : s + batch_size][
+                        shard_index * local : (shard_index + 1) * local
+                    ]
+                    # the augment rng stays keyed by the GLOBAL batch offset
+                    # + image index, so shards match the unsharded stream
+                    q.put(make_batch(idx, epoch * 1_000_003 + s))
+                epoch += 1
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            # a decode/IO error must surface at next(loader), NOT kill this
+            # thread silently (which would leave the train loop blocked on
+            # q.get forever); after close() it's just teardown noise
+            if not stop.is_set():
+                q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     try:
         while True:
-            yield q.get()
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
     finally:
         stop.set()
+        # unblock a producer stuck in q.put so it can observe stop and
+        # exit before e.g. a TemporaryDirectory holding the images vanishes
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def get_ffhq_data_loader(
