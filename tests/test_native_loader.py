@@ -49,10 +49,14 @@ def test_native_loader_stream(jpeg_dir):
     paths = sorted(jpeg_dir.glob("*.jpg"))
     it = native_loader.native_loader(paths, size=32, batch_size=4, workers=2, seed=1)
     b1 = next(it)
-    b2 = next(it)
     assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.float32
     assert b1.min() >= -1.001 and b1.max() <= 1.001
-    assert not np.allclose(b1, b2)  # stream advances
+    # stream advances: with 4 images/batch every batch is a permutation
+    # (+flip) of the same decodes, so ONE pair can legitimately coincide
+    # (~1/384, and the threaded slot fill makes the order non-reproducible
+    # run to run — observed once in CI); five consecutive identical
+    # batches would mean the shuffle is genuinely stuck
+    assert any(not np.allclose(b1, next(it)) for _ in range(5))
     it.close()
 
 
