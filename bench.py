@@ -179,6 +179,11 @@ def build_train_harness(on_tpu: bool, attr: bool = True) -> dict:
             if "BENCH_REMAT_PRED" in os.environ
             else not (mc["mixed_precision"] and not mc["remat"])
         ),
+        # BENCH_PRED_DTYPE=bfloat16: battery storage-dtype A/B (halves the
+        # frozen-battery HBM bytes; threshold drift in WEIGHTS.md)
+        predictor_dtype=os.environ.get(
+            "BENCH_PRED_DTYPE", tc.get("predictor_dtype", "float32")
+        ),
     )
     # reg steps on remat'ed clones (the trainer's remat_reg plan): their
     # double-backprop graphs don't fit 512² un-remat'ed even in bf16

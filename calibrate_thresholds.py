@@ -108,6 +108,13 @@ def main(argv=None):
                     "GANCTL_PREDICTOR_PRECISION, else the training "
                     "battery's 'default' single-pass-bf16 mode so "
                     "thresholds match training-time distances)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="battery STORAGE dtype for this run — matches "
+                    "training_config.predictor_dtype so calibrated "
+                    "thresholds see the same feature numerics as the "
+                    "train step (features are upcast to f32 before "
+                    "distances, exactly like the contrastive loss)")
     args = ap.parse_args(argv)
     if args.precision is not None:
         import os
@@ -159,7 +166,13 @@ def main(argv=None):
     # weight trees get baked into the compile payload, which oversizes
     # remote-compile links (the age VGG16 exceeded the tunnel's request
     # limit) — same convention as the trainer's cached predictor jits
-    feature_fn = jax.jit(lambda pp, imgs: spec.feature_fn(pp, imgs))
+    dtype = jax.numpy.dtype(args.dtype)
+    feature_fn = jax.jit(
+        lambda pp, imgs: [
+            f.astype(jax.numpy.float32)
+            for f in spec.feature_fn(pp, imgs.astype(dtype))
+        ]
+    )
     chunks = []
     seen = 0
     while seen < args.num_images:

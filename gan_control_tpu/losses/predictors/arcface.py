@@ -128,7 +128,11 @@ def preprocess(model: ArcFaceModel, images: jax.Array) -> jax.Array:
 
 
 def features(model: ArcFaceModel, params, images: jax.Array):
-    return model.module.apply(params, preprocess(model, images))
+    # backbone runs at the caller's dtype (bf16 battery support): preprocess
+    # may upcast via f32 constants, so re-assert the incoming dtype here
+    return model.module.apply(
+        params, preprocess(model, images).astype(images.dtype)
+    )
 
 
 def last_layer_dist(emb: jax.Array) -> jax.Array:

@@ -78,7 +78,10 @@ def preprocess(model: DexAgeModel, images: jax.Array) -> jax.Array:
 
 
 def features(model: DexAgeModel, params, images: jax.Array):
-    return model.module.apply(params, preprocess(model, images))
+    # backbone at the caller's dtype; preprocess upcasts via f32 constants
+    return model.module.apply(
+        params, preprocess(model, images).astype(images.dtype)
+    )
 
 
 def last_layer_dist(logits: jax.Array) -> jax.Array:

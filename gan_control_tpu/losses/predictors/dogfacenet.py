@@ -92,7 +92,12 @@ def preprocess(model: DogFaceModel, images: jax.Array) -> jax.Array:
 
 
 def features(model: DogFaceModel, params, images: jax.Array):
-    return [model.module.apply(params, preprocess(model, images))]
+    # backbone at the caller's dtype; preprocess upcasts via f32 constants
+    return [
+        model.module.apply(
+            params, preprocess(model, images).astype(images.dtype)
+        )
+    ]
 
 
 def last_layer_dist(emb: jax.Array) -> jax.Array:

@@ -111,7 +111,10 @@ def preprocess(model: ESR9Model, images: jax.Array) -> jax.Array:
 
 
 def features(model: ESR9Model, params, images: jax.Array):
-    return model.module.apply(params, preprocess(model, images))
+    # backbone at the caller's dtype; preprocess upcasts via f32 constants
+    return model.module.apply(
+        params, preprocess(model, images).astype(images.dtype)
+    )
 
 
 def last_layer_dist(emotions: jax.Array) -> jax.Array:

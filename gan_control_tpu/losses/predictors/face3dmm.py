@@ -163,7 +163,12 @@ def preprocess(model: ReconModel, images: jax.Array) -> jax.Array:
 
 
 def features(model: ReconModel, params, images: jax.Array):
-    return [model.module.apply(params, preprocess(model, images))]
+    # backbone at the caller's dtype; preprocess upcasts via f32 constants
+    return [
+        model.module.apply(
+            params, preprocess(model, images).astype(images.dtype)
+        )
+    ]
 
 
 def extract_feature(vec: jax.Array, which: str) -> jax.Array:

@@ -84,7 +84,8 @@ def features(model: HairModel, params, images: jax.Array):
     if images.shape[1] != INPUT_SIZE:
         images = resize_bilinear(images, (INPUT_SIZE, INPUT_SIZE), align_corners=True)
     net_in = ((jax.lax.stop_gradient(images) * 0.5 + 0.5) - IMAGENET_MEAN) / IMAGENET_STD
-    logit = model.module.apply(params, net_in)
+    # mask net at the caller's dtype; the normalization upcast via f32 consts
+    logit = model.module.apply(params, net_in.astype(images.dtype))
     mask = (jax.nn.sigmoid(logit) >= 0.5).astype(images.dtype)
     mask = jax.lax.stop_gradient(mask)
     return [jnp.concatenate([images * mask, mask], axis=-1)]

@@ -64,7 +64,8 @@ def preprocess(images: jax.Array) -> jax.Array:
 
 
 def features(model: HopenetModel, params, images: jax.Array):
-    return model.module.apply(params, preprocess(images))
+    # backbone at the caller's dtype; preprocess upcasts via f32 constants
+    return model.module.apply(params, preprocess(images).astype(images.dtype))
 
 
 def last_layer_dist(logits: jax.Array) -> jax.Array:

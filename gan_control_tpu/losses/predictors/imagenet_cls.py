@@ -45,11 +45,13 @@ def init_params(model: ImageNetModel, rng: jax.Array):
 
 
 def features(model: ImageNetModel, params, images: jax.Array):
+    dtype = images.dtype
     if images.shape[1] != 224:
         if model.center_crop is not None and images.shape[1] > model.center_crop:
             images = center_crop(images, model.center_crop)
         images = resize_bilinear(images, (224, 224), align_corners=True)
-    return model.module.apply(params, images)
+    # backbone at the caller's dtype (resize may upcast to f32)
+    return model.module.apply(params, images.astype(dtype))
 
 
 def last_layer_dist(emb: jax.Array) -> jax.Array:

@@ -92,7 +92,10 @@ def preprocess(model: StyleModel, images: jax.Array) -> jax.Array:
 
 
 def features(model: StyleModel, params, images: jax.Array):
-    return model.module.apply(params, preprocess(model, images))
+    # backbone at the caller's dtype; preprocess upcasts via f32 constants
+    return model.module.apply(
+        params, preprocess(model, images).astype(images.dtype)
+    )
 
 
 def last_layer_dist(gram: jax.Array) -> jax.Array:

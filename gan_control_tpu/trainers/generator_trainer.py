@@ -145,6 +145,10 @@ class GeneratorTrainer:
                 "remat_predictors",
                 not (mc.get("mixed_precision", False) and not mc.get("remat", False)),
             ),
+            # battery storage dtype: "bfloat16" halves the frozen-battery
+            # HBM traffic in the HBM-bound g_step (TRAINING.md roofline);
+            # thresholds stay f32 — drift measured in WEIGHTS.md
+            predictor_dtype=tc.get("predictor_dtype", "float32"),
         )
         augment_fn = None
         if self.step_cfg.ada_enabled:

@@ -116,6 +116,14 @@ class TrainStepConfig:
     # re-run each frozen predictor in the backward instead of holding all
     # of their activations at once (SURVEY.md §7.3.2 memory plan)
     remat_predictors: bool = True
+    # storage dtype of the frozen-predictor battery ("float32" | "bfloat16").
+    # float32 matches the reference (loss_model.py builds f32 torch modules);
+    # bfloat16 halves the battery's HBM traffic — the g_step limiter is
+    # HBM-bound (TRAINING.md roofline table). Contrastive distances and
+    # thresholds always stay float32 (features are upcast before the loss);
+    # the threshold drift this introduces is measured by
+    # tools/precision_drift.py --dtype bfloat16 (WEIGHTS.md table)
+    predictor_dtype: str = "float32"
 
 
 def _attr_losses_for_batch(
@@ -126,6 +134,7 @@ def _attr_losses_for_batch(
     num_mini: int,
     remat: bool = False,
     arrangement: Arrangement | None = None,
+    dtype=jnp.float32,
 ):
     """Sum of contrastive losses, averaged over mini-batch chunks.
 
@@ -140,16 +149,20 @@ def _attr_losses_for_batch(
     static spec tables — one compile covers every placement."""
     total = jnp.zeros((), jnp.float32)
     metrics = {}
-    # predictors always run float32: the contrastive thresholds
-    # (lower/upper_thres) were calibrated on float32 feature distances, so
-    # a bf16 generator hands the battery full-precision images
-    images = images.astype(jnp.float32)
+    # ``dtype`` is the battery STORAGE dtype (each predictor's backbone runs
+    # at images.dtype — the cast at its apply entry keys off this). The
+    # contrastive thresholds (lower/upper_thres) were calibrated on float32
+    # feature distances, so features are upcast back to f32 below before any
+    # distance math regardless of the backbone dtype.
+    images = images.astype(dtype)
     mb = images.shape[0] // num_mini
 
     def chunked_contrastive(feats, arr, al):
         loss_al = jnp.zeros((), jnp.float32)
         for k in range(num_mini):
-            chunk = [f[k * mb : (k + 1) * mb] for f in feats]
+            chunk = [
+                f[k * mb : (k + 1) * mb].astype(jnp.float32) for f in feats
+            ]
             if arr is not None:
                 loss_al = loss_al + contrastive_loss_masked(
                     al.cfg, chunk, al.dist_fn,
@@ -417,6 +430,7 @@ def make_train_steps(
                 attr_total, attr_metrics = _attr_losses_for_batch(
                     attr_losses, spec, predictor_params, img, num_mini,
                     remat=cfg.remat_predictors, arrangement=arrangement,
+                    dtype=jnp.dtype(cfg.predictor_dtype),
                 )
                 total = total + attr_total
                 metrics.update(attr_metrics)

@@ -110,3 +110,114 @@ def test_calibrate_thresholds_precision_flag(monkeypatch, tmp_path):
     import os
 
     assert os.environ[ENV_VAR] == "default"
+
+
+# --- battery storage dtype (predictor_dtype knob) -------------------------
+
+PREDICTOR_DTYPE_CASES = [
+    ("arcface", {"center_crop": None}, 64),
+    ("hopenet", {}, 64),
+    ("dex_age", {"center_crop": None}, 64),
+    ("esr9", {"center_crop": None}, 96),
+    ("face3dmm", {"center_crop": None}, 64),
+    ("hair_pspnet", {}, 64),
+    ("vgg_style", {"resize_to": 64, "center_crop": None}, 64),
+    ("dogfacenet", {"center_crop": None}, 64),
+    ("imagenet_cls", {"center_crop": None}, 64),
+]
+
+
+@pytest.mark.parametrize("mod_name,config,img_size", PREDICTOR_DTYPE_CASES)
+def test_backbone_runs_at_caller_dtype(mod_name, config, img_size):
+    """bf16 images -> every returned feature is bf16: the backbone really ran
+    at the caller's dtype (the preprocessing f32 constants did not silently
+    upcast the whole net — the cast at apply entry re-asserts it). The f32
+    default path is covered by test_predictors.py."""
+    import importlib
+
+    mod = importlib.import_module(
+        f"gan_control_tpu.losses.predictors.{mod_name}"
+    )
+    model = mod.make_model(config)
+    params = mod.init_params(model, jax.random.PRNGKey(0))
+    images = (
+        jax.random.normal(jax.random.PRNGKey(1), (2, img_size, img_size, 3))
+        * 0.3
+    ).astype(jnp.bfloat16)
+    feats = jax.jit(lambda p, x: mod.features(model, p, x))(params, images)
+    for f in feats:
+        assert f.dtype == jnp.bfloat16, (mod_name, f.shape, f.dtype)
+        assert np.all(np.isfinite(np.asarray(f, np.float32)))
+
+
+def test_train_step_predictor_dtype_bf16():
+    """predictor_dtype='bfloat16' hands the battery bf16 images while the
+    contrastive loss math stays f32 (thresholds calibrated on f32 distances)."""
+    from gan_control_tpu.latent.groups import GroupSpec, LatentGroup
+    from gan_control_tpu.losses.contrastive import (
+        ContrastiveConfig,
+        pairwise_sq_l2,
+    )
+    from gan_control_tpu.models.discriminator import Discriminator
+    from gan_control_tpu.models.generator import Generator
+    from gan_control_tpu.training.state import (
+        init_gan_state,
+        make_gan_optimizers,
+    )
+    from gan_control_tpu.training.train_step import (
+        AttributeLossSpec,
+        TrainStepConfig,
+        make_train_steps,
+    )
+
+    size, batch, style = 16, 8, 64
+    spec = GroupSpec(
+        groups=(
+            LatentGroup("id", 0, 32, mb_start=0, mb_end=4, count_range=(2, 6)),
+            LatentGroup("other", 32, 64, mb_start=4, mb_end=8,
+                        count_range=(2, 6)),
+        ),
+        mini_batch=batch,
+        style_dim=style,
+    )
+    gen = Generator(size=size, style_dim=style, n_mlp=2, split_fc=True,
+                    fc_groups=spec.fc_dims(), max_channels=32)
+    disc = Discriminator(size=size, max_channels=32)
+    g_tx, d_tx = make_gan_optimizers(
+        {"lr_g": 2e-3, "lr_d": 2e-3, "g_reg_every": 4, "d_reg_every": 16}
+    )
+
+    seen = {}
+
+    def spy_features(params, images):
+        del params
+        seen["dtype"] = images.dtype
+        emb = jnp.mean(images, axis=(1, 2))
+        return [emb]
+
+    attr = (
+        AttributeLossSpec(
+            name="embedding_loss",
+            group="id",
+            cfg=ContrastiveConfig(
+                intermediate_weights=(), last_layer_weight=1.0,
+                lower_thres=(), upper_thres=(),
+                last_lower_thres=0.1, last_upper_thres=1.0,
+                focus_on=("same_as_last_layer",),
+            ),
+            feature_fn=spy_features,
+            dist_fn=pairwise_sq_l2,
+        ),
+    )
+    cfg = TrainStepConfig(batch=batch, mini_batch=batch, style_dim=style,
+                          predictor_dtype="bfloat16")
+    steps = make_train_steps(gen, disc, cfg, spec=spec, attr_losses=attr,
+                             g_tx=g_tx, d_tx=d_tx)
+    state = init_gan_state(gen, disc, g_tx, d_tx, jax.random.PRNGKey(0),
+                           style_dim=style)
+    z = jax.random.normal(jax.random.PRNGKey(2), (batch, style))
+    _, metrics = jax.jit(steps["g_step"])(state, (z,), {"embedding_loss": {}})
+    assert seen["dtype"] == jnp.bfloat16
+    # loss math is f32 regardless of the battery dtype
+    assert metrics["g_embedding_loss"].dtype == jnp.float32
+    assert np.isfinite(float(metrics["g_loss"]))

@@ -65,3 +65,43 @@ def test_precision_drift_cpu_smoke(tmp_path, capsys):
                   if l.strip().endswith("%") and "drift %" not in l]
     assert drift_rows
     assert all("0.000%" in row for row in drift_rows), stdout
+
+@pytest.mark.slow
+def test_precision_drift_storage_leg(tmp_path, capsys):
+    """--storage adds the bf16-battery (predictor_dtype=bfloat16) column.
+    Unlike the matmul-precision knob, STORAGE rounding is real on CPU too,
+    so the third leg must produce a table (values may legitimately differ)."""
+    cfg = {
+        "model_config": {"size": 96, "latent_size": 64},
+        "data_config": {"data_set_name": "synthetic", "path": ""},
+        "training_config": {
+            "expression_loss": {
+                "enabled": True,
+                "model_path": "",
+                "center_crop": None,
+                "same_group_name": "expression",
+                "last_layer_weight": 1.0,
+                "intermediate_layers_weights": [0.0],
+                "lower_thres": [0.0],
+                "upper_thres": [1.0],
+                "last_lower_thres": 0.1,
+                "last_upper_thres": 1.0,
+                "focus_on_list": ["same_as_last_layer", "same_as_last_layer"],
+            },
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = precision_drift.main([
+        "--config_path", str(cfg_path), "--loss", "expression_loss",
+        "--num_images", "8", "--batch_size", "4",
+        "--out", str(tmp_path / "drift"), "--storage",
+    ])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "bf16-store" in stdout
+    table = json.loads(
+        (tmp_path / "drift" / "default-bfloat16" /
+         "expression_loss_thresholds.json").read_text()
+    )
+    assert table

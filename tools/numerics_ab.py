@@ -42,13 +42,26 @@ import numpy as np
 METRICS = ("d_loss", "g_loss", "d_r1_loss", "g_path_loss")
 
 
-def run_trajectory(mixed: bool, iters: int, batch: int, on_tpu: bool) -> dict:
-    """N cadence iterations from a fixed seed; returns metric trajectories."""
+def run_trajectory(
+    leg_a: bool, iters: int, batch: int, on_tpu: bool,
+    ab: str = "mixed_precision",
+) -> dict:
+    """N cadence iterations from a fixed seed; returns metric trajectories.
+
+    ab="mixed_precision": leg_a toggles BENCH_TRAIN_MP (bf16 G/D vs f32).
+    ab="predictor_dtype": G/D stay at the shipped bf16 plan; leg_a toggles
+    the battery STORAGE dtype (bfloat16 vs float32) — the evidence behind
+    shipping predictor_dtype=bfloat16 (halves battery HBM bytes)."""
     import jax
 
     from bench import build_train_harness
 
-    os.environ["BENCH_TRAIN_MP"] = "1" if mixed else "0"
+    if ab == "predictor_dtype":
+        os.environ["BENCH_TRAIN_MP"] = "1"
+        os.environ["BENCH_PRED_DTYPE"] = "bfloat16" if leg_a else "float32"
+    else:
+        os.environ["BENCH_TRAIN_MP"] = "1" if leg_a else "0"
+        os.environ.pop("BENCH_PRED_DTYPE", None)
     # same memory plan decision as the trainer: f32 512² needs full remat
     os.environ.pop("BENCH_TRAIN_REMAT", None)
     os.environ["BENCH_TRAIN_BATCH"] = str(batch)
@@ -82,6 +95,9 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=48)
     ap.add_argument("--batch", type=int, default=16,
                     help="must be a multiple of the config's mini_batch (16)")
+    ap.add_argument("--ab", default="mixed_precision",
+                    choices=("mixed_precision", "predictor_dtype"),
+                    help="which knob the two legs toggle")
     args = ap.parse_args()
 
     import jax
@@ -94,9 +110,9 @@ def main() -> int:
         # CPU smoke: tiny harness (build_train_harness shrinks shapes itself)
         args.iters = min(args.iters, 5)
 
-    bf16 = run_trajectory(True, args.iters, args.batch, on_tpu)
+    bf16 = run_trajectory(True, args.iters, args.batch, on_tpu, ab=args.ab)
     gc.collect()
-    f32 = run_trajectory(False, args.iters, args.batch, on_tpu)
+    f32 = run_trajectory(False, args.iters, args.batch, on_tpu, ab=args.ab)
 
     ok = True
     for m in METRICS:
@@ -119,6 +135,7 @@ def main() -> int:
             "finite": bool(np.isfinite(a).all() and np.isfinite(b).all()),
         }))
     print(json.dumps({"verdict": "finite" if ok else "NONFINITE",
+                      "ab": args.ab,
                       "iters": args.iters, "batch": args.batch,
                       "note": "trajectory-level agreement; not FID parity"}))
     return 0 if ok else 1

@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--loss", nargs="*", default=["embedding_loss"])
     ap.add_argument("--num_images", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--storage", action="store_true",
+                    help="add a third leg: single-pass-bf16 convs WITH "
+                    "bf16 feature storage (training_config.predictor_dtype"
+                    "='bfloat16') — the drift of the bf16-battery plan")
     ap.add_argument("--out", default="/tmp/precision_drift")
     ap.add_argument("--config_path",
                     default=os.path.join(os.path.dirname(os.path.dirname(
@@ -47,30 +51,42 @@ def main(argv=None):
     with os.fdopen(fd, "w") as f:
         json.dump(config, f)
 
+    legs = [("default", "float32"), ("highest", "float32")]
+    if args.storage:
+        legs.append(("default", "bfloat16"))
     for loss in args.loss:
         tables = {}
-        for prec in ("default", "highest"):
-            out_dir = os.path.join(args.out, prec)
+        for prec, dtype in legs:
+            tag = prec if dtype == "float32" else f"{prec}-{dtype}"
+            out_dir = os.path.join(args.out, tag)
             cal.main([
                 "--config_path", cfg_path, "--loss", loss,
                 "--num_images", str(args.num_images),
                 "--batch_size", str(args.batch_size),
                 "--out", out_dir, "--precision", prec,
+                "--dtype", dtype,
             ])
-            tables[prec] = json.load(
+            tables[tag] = json.load(
                 open(os.path.join(out_dir, f"{loss}_thresholds.json"))
             )
 
-        print(f"\n=== {loss}: suggested-threshold drift (bf16 'default' vs "
-              f"f32 'highest') ===")
-        print(f"{'layer':8} {'thr':6} {'f32':>12} {'bf16':>12} {'drift %':>9}")
+        print(f"\n=== {loss}: suggested-threshold drift vs f32 'highest' ===")
+        header = f"{'layer':8} {'thr':6} {'f32':>12} {'bf16':>12} {'drift %':>9}"
+        if args.storage:
+            header += f" {'bf16-store':>12} {'drift %':>9}"
+        print(header)
         for layer in tables["highest"]:
             for key in ("lower_thres", "upper_thres"):
                 hi = tables["highest"][layer]["suggested"][key]
                 lo = tables["default"][layer]["suggested"][key]
                 drift = 100.0 * (lo - hi) / hi if hi else float("nan")
-                print(f"{layer:8} {key[:5]:6} {hi:12.6g} {lo:12.6g} "
-                      f"{drift:8.3f}%")
+                line = (f"{layer:8} {key[:5]:6} {hi:12.6g} {lo:12.6g} "
+                        f"{drift:8.3f}%")
+                if args.storage:
+                    st = tables["default-bfloat16"][layer]["suggested"][key]
+                    sdrift = 100.0 * (st - hi) / hi if hi else float("nan")
+                    line += f" {st:12.6g} {sdrift:8.3f}%"
+                print(line)
     return 0
 
 

@@ -31,10 +31,13 @@ V5E_HBM_GBS = 819e9  # v5e HBM bandwidth, bytes/s
 def main():
     import jax
 
-    from bench import build_train_harness
+    from bench import _setup_jax, build_train_harness
 
     measure = "--measure" in sys.argv
     on_tpu = jax.default_backend() != "cpu"
+    # persistent compile cache: 4 big executables, minutes each cold over
+    # the tunnel — warm runs load from /tmp/jax_tpu_cache instead
+    _setup_jax(on_tpu)
     h = build_train_harness(on_tpu=on_tpu)
     steps, state, pred_params = h["steps"], h["state"], h["pred_params"]
     real, zs, cfg, batch = h["real"], h["zs"], h["cfg"], h["batch"]
