@@ -185,6 +185,12 @@ def build_train_harness(on_tpu: bool, attr: bool = True) -> dict:
             "BENCH_PRED_DTYPE", tc.get("predictor_dtype", "float32")
         ),
     )
+    if cfg.predictor_dtype != "float32":
+        # store the frozen params in the battery dtype too (same as the
+        # trainer) — halves their read bytes in the HBM-bound g_step
+        from gan_control_tpu.losses.registry import cast_predictor_params
+
+        pred_params = cast_predictor_params(pred_params, cfg.predictor_dtype)
     # reg steps on remat'ed clones (the trainer's remat_reg plan): their
     # double-backprop graphs don't fit 512² un-remat'ed even in bf16
     remat_reg = not mc.get("remat", False)

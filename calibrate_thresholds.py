@@ -152,6 +152,13 @@ def main(argv=None):
         tc["recon_3d_loss"] = blk
 
     specs, params = build_attr_losses(tc)
+    if args.dtype != "float32":
+        # match training exactly under the bf16 battery plan: params are
+        # STORED in the battery dtype there too (trainer init), so the
+        # calibrated thresholds must see the same rounded weights
+        from gan_control_tpu.losses.registry import cast_predictor_params
+
+        params = cast_predictor_params(params, args.dtype)
     spec = next((s for s in specs if s.name == args.loss), None)
     if spec is None:
         raise SystemExit(

@@ -76,6 +76,50 @@ def _load_predictor(name: str):
     return importlib.import_module(f"gan_control_tpu.losses.predictors.{name}")
 
 
+def cast_predictor_params(params: Any, dtype) -> Any:
+    """Cast every floating leaf of the frozen battery's param trees.
+
+    Under the bf16 battery plan (``training_config.predictor_dtype=
+    'bfloat16'``) every predictor op already casts its weights to the
+    activation dtype at the use site (predictors/common.py — ``w.astype(
+    x.dtype)``), so with bf16 images the weights are rounded to bf16 per-op
+    anyway; storing them in bf16 makes the SAME rounding happen once at
+    load while halving the battery's parameter read bytes in the HBM-bound
+    g_step (TRAINING.md roofline). The one numerics delta is intermediates
+    computed in the *param* dtype before the cast (batch-norm's folded
+    scale/offset) — covered by the measured drift legs in WEIGHTS.md
+    (tools/precision_drift.py --storage). Eval paths that feed f32 images
+    still work off the same tree: bf16→f32 weight upcasts are exact.
+    """
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float32:
+        return params
+
+    def cast_tree(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+    if not isinstance(params, dict):
+        return cast_tree(params)
+    # the recon-3d sub-losses all point at ONE shared R-Net tree
+    # (build_attr_losses: ``params[sub_name] = p``) — cast each distinct
+    # tree once and keep the aliasing, or the cast would materialize seven
+    # R-Net copies on device
+    memo: dict[int, Any] = {}
+    out = {}
+    for name, tree in params.items():
+        if id(tree) not in memo:
+            memo[id(tree)] = cast_tree(tree)
+        out[name] = memo[id(tree)]
+    return out
+
+
 def build_attr_losses(
     training_config: dict, rng: jax.Array | None = None
 ) -> tuple[tuple[AttributeLossSpec, ...], dict[str, Any]]:

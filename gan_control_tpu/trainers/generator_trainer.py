@@ -115,6 +115,16 @@ class GeneratorTrainer:
         # frozen predictors
         self.attr_losses = tuple(attr_losses)
         self.predictor_params = dict(predictor_params or {})
+        if self.predictor_params and tc.get("predictor_dtype", "float32") != "float32":
+            # bf16 battery plan: store the frozen params in the battery
+            # dtype too — halves their read bytes in the HBM-bound g_step;
+            # eval paths feed f32 images and upcast the weights exactly
+            # (losses/registry.cast_predictor_params docstring)
+            from gan_control_tpu.losses.registry import cast_predictor_params
+
+            self.predictor_params = cast_predictor_params(
+                self.predictor_params, tc["predictor_dtype"]
+            )
 
         # compiled steps
         self.step_cfg = TrainStepConfig(

@@ -221,3 +221,50 @@ def test_train_step_predictor_dtype_bf16():
     # loss math is f32 regardless of the battery dtype
     assert metrics["g_embedding_loss"].dtype == jnp.float32
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_cast_predictor_params_bf16_preserves_aliasing():
+    """cast_predictor_params casts float leaves to bf16, leaves ints alone,
+    and keeps the recon-3d sub-losses' shared-tree aliasing (one R-Net on
+    device, not seven)."""
+    from gan_control_tpu.losses.registry import cast_predictor_params
+
+    shared = {
+        "w": jnp.ones((4, 4), jnp.float32),
+        "steps": jnp.array(3, jnp.int32),
+    }
+    params = {
+        "recon_3d_loss": shared,
+        "recon_gamma_loss": shared,  # aliased, as build_attr_losses does
+        "embedding_loss": {"w": jnp.zeros((2,), jnp.float32)},
+    }
+    out = cast_predictor_params(params, "bfloat16")
+    assert out["recon_3d_loss"]["w"].dtype == jnp.bfloat16
+    assert out["recon_3d_loss"]["steps"].dtype == jnp.int32
+    assert out["embedding_loss"]["w"].dtype == jnp.bfloat16
+    # aliasing preserved: the two recon entries are the SAME cast tree
+    assert out["recon_3d_loss"] is out["recon_gamma_loss"]
+    # f32 is the identity (no copies, no new trees)
+    same = cast_predictor_params(params, "float32")
+    assert same is params
+
+
+def test_trainer_casts_battery_params_under_bf16_plan(tmp_path):
+    """GeneratorTrainer with training_config.predictor_dtype='bfloat16'
+    stores the frozen battery params in bf16 (the param-read half of the
+    bf16-battery HBM saving, TRAINING.md roofline)."""
+    from tests.test_trainer import tiny_config
+
+    config = tiny_config(tmp_path)
+    config["training_config"]["predictor_dtype"] = "bfloat16"
+    from gan_control_tpu.trainers.generator_trainer import GeneratorTrainer
+
+    pred_params = {"embedding_loss": {"w": jnp.ones((4, 4), jnp.float32),
+                                      "n": jnp.array(1, jnp.int32)}}
+    tr = GeneratorTrainer(
+        config=config, init_dirs=False, predictor_params=pred_params,
+    )
+    leaves = jax.tree_util.tree_leaves(tr.predictor_params)
+    float_leaves = [l for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)]
+    assert float_leaves
+    assert all(l.dtype == jnp.bfloat16 for l in float_leaves)
