@@ -34,10 +34,14 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        inv = (scale * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
-        return x * inv + (bias - mean * scale * jax.lax.rsqrt(var + self.eps)).astype(
-            x.dtype
-        )
+        # Fold in f32 even when params are stored in bf16: rsqrt(var+eps)
+        # would absorb eps for var >~ 0.01 at bf16 precision. Only the two
+        # folded per-channel constants are cast to x.dtype, so the HBM
+        # footprint of the stored params is unchanged.
+        scale32 = scale.astype(jnp.float32)
+        inv32 = scale32 * jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
+        off32 = bias.astype(jnp.float32) - mean.astype(jnp.float32) * inv32
+        return x * inv32.astype(x.dtype) + off32.astype(x.dtype)
 
 
 class PReLU(nn.Module):

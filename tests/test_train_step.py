@@ -418,6 +418,27 @@ def test_sharded_step_collectives_are_gradient_sized(setup):
     for colls in (colls_d, colls_g):
         assert colls.get("all-reduce", 0) <= n_params, (colls, n_params)
 
+    # BOTH regularizer steps must sync gradients too. Guards the r04 bug
+    # class: handing jit a host-side slice of a sharded array (e.g.
+    # z[:path_batch]) silently destroys the sharding and lowers an
+    # UNPARTITIONED program with zero collectives — the trainer instead
+    # device_puts the path batch with the batch sharding
+    # (generator_trainer.py _sample_z/_put_global_rows), as done here.
+    z_path = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(3), (BATCH, STYLE)), bs
+    )
+    c_dr = jax.jit(steps["d_reg_step"]).lower(state_sh, real).compile()
+    colls_dr = collectives(c_dr.as_text())
+    c_gr = jax.jit(steps["g_reg_step"]).lower(state_sh, (z_path,)).compile()
+    colls_gr = collectives(c_gr.as_text())
+    for colls in (colls_dr, colls_gr):
+        assert colls.get("all-reduce", 0) > 0, colls
+        assert colls.get("all-reduce", 0) <= n_params, (colls, n_params)
+        for bad in ("all-to-all", "collective-permute"):
+            assert bad not in colls, colls
+    assert colls_dr.get("all-gather", 0) <= 16384, colls_dr
+    assert colls_gr.get("all-gather", 0) <= 16384, colls_gr
+
 
 def test_g_reg_step_style_mixing(setup):
     """g_reg_step with two styles regularizes a MIXED w+ (random inject

@@ -206,16 +206,24 @@ def measure_collectives(n_devices: int, batch: int) -> dict:
     z = jax.device_put(
         np.zeros((batch, style), np.float32), batch_sharding
     )
-    path_batch = max(1, batch // cfg.path_batch_shrink)
+    # The path batch must be device_put with the batch sharding, exactly
+    # as the trainer does (generator_trainer.py:361-364 via
+    # _sample_z/_put_global_rows). Slicing the sharded `z` host-side
+    # (`z[:path_batch]`) hands jit an array whose sharding the slice
+    # destroyed — the lowered program then runs UNPARTITIONED and emits
+    # zero collectives, which is what the (confirmed-buggy) r04 artifact
+    # recorded for g_reg_step.
+    path_batch = max(batch // cfg.path_batch_shrink, n_devices)
+    z_path = jax.device_put(
+        np.zeros((path_batch, style), np.float32), batch_sharding
+    )
     pred_params = {"embedding_loss": {}}
 
     lowered = {
         "d_step": jax.jit(steps["d_step"]).lower(state, real, (z,)),
         "g_step": jax.jit(steps["g_step"]).lower(state, (z,), pred_params),
         "d_reg_step": jax.jit(steps["d_reg_step"]).lower(state, real),
-        "g_reg_step": jax.jit(steps["g_reg_step"]).lower(
-            state, (z[:path_batch],)
-        ),
+        "g_reg_step": jax.jit(steps["g_reg_step"]).lower(state, (z_path,)),
     }
     out = {
         "n_devices": n_devices,
@@ -319,14 +327,22 @@ def main():
 
     # measured emitted-traffic / minimal-gradient-bytes ratio (see
     # project_scaling docstring); take the worst over the measured meshes
+    # and over ALL FOUR executables — the r04 artifact only sampled
+    # d_step/g_step and so missed that g_reg_step (path-length penalty:
+    # double grad through G) emits the largest per-step ratio.
     ratios = []
     for r in results["collectives"]:
-        ratios.append(
-            r["per_step"]["d_step"].get("all-reduce", 0) / r["d_param_bytes"]
-        )
-        ratios.append(
-            r["per_step"]["g_step"].get("all-reduce", 0) / r["g_param_bytes"]
-        )
+        for step, denom in (("d_step", "d_param_bytes"),
+                            ("d_reg_step", "d_param_bytes"),
+                            ("g_step", "g_param_bytes"),
+                            ("g_reg_step", "g_param_bytes")):
+            ar = r["per_step"][step].get("all-reduce", 0)
+            assert ar > 0, (
+                f"{step} emitted ZERO all-reduce bytes on a {r['n_devices']}-"
+                "device mesh — the input sharding was destroyed before jit "
+                "(the r04 bug); refusing to write a bogus artifact"
+            )
+            ratios.append(ar / r[denom])
     traffic_ratio = max(ratios)
     results["traffic_ratio"] = round(traffic_ratio, 3)
     print(f"emitted/minimal gradient-traffic ratio: {traffic_ratio:.2f}x")
