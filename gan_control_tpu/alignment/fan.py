@@ -191,37 +191,49 @@ class FAN:
         return resize_bilinear(jnp.asarray(canvas), (256, 256),
                                align_corners=False)
 
-    def get_landmarks(self, params, images: jax.Array,
-                      boxes=None) -> np.ndarray:
-        """images [-1,1] NHWC -> [B,68,2] pixel coords (original frame).
+    def get_landmarks(self, params, images: jax.Array, boxes=None,
+                      depth=None, depth_params=None) -> np.ndarray:
+        """images [-1,1] NHWC -> [B,68,2] pixel coords (original frame),
+        or [B,68,3] when a depth predictor is given.
 
         ``boxes``: optional per-image (x1,y1,x2,y2) detector boxes; None =
-        whole-image box per image."""
+        whole-image box per image.
+        ``depth``/``depth_params``: optional ``DepthPredictor`` — appends
+        the reference LandmarksType._3D z coordinate per landmark
+        (api.py:168-182: heatmaps at crop res from the 64-space peaks x4,
+        depth output rescaled by 200*scale/256 into image units)."""
         if self._jit is None:
             self._jit = jax.jit(lambda p, v: self.module.apply(p, v)[-1])
         x01 = np.asarray(images * 0.5 + 0.5)
         b, ht, wd = x01.shape[0], x01.shape[1], x01.shape[2]
+
+        def finish(crop, coords64, center, scale):
+            """64-space peaks -> image-frame landmarks [N,68,2|3]."""
+            h200 = 200.0 * scale
+            xy = np.floor(
+                coords64 * (h200 / 64.0) + np.asarray(center) - h200 / 2.0
+            ).astype(np.float32)  # the reference transform truncates
+            if depth is None:
+                return xy
+            z = depth.predict(depth_params, crop, coords64 * 4.0)
+            return np.concatenate(
+                [xy, (z * (h200 / 256.0))[..., None]], axis=-1
+            ).astype(np.float32)
 
         if boxes is None:
             center, scale = box_to_center_scale((0.0, 0.0, wd, ht))
             crop = self._crop(x01, center, scale)
             hm = self._jit(params, crop)
             coords = decode_heatmaps(np.asarray(hm))  # 64-space, float
-            h200 = 200.0 * scale
-            out = coords * (h200 / 64.0) + np.asarray(center) - h200 / 2.0
-            # the reference's transform truncates to int per landmark
-            return np.floor(out).astype(np.float32)
+            return finish(crop, coords, center, scale)
 
-        out = np.zeros((b, 68, 2), np.float32)
+        out = np.zeros((b, 68, 3 if depth is not None else 2), np.float32)
         for i, box in enumerate(boxes):
             center, scale = box_to_center_scale(box)
             crop = self._crop(x01[i:i + 1], center, scale)
             hm = self._jit(params, crop)
-            coords = decode_heatmaps(np.asarray(hm))[0]
-            h200 = 200.0 * scale
-            out[i] = np.floor(
-                coords * (h200 / 64.0) + np.asarray(center) - h200 / 2.0
-            )
+            coords = decode_heatmaps(np.asarray(hm))
+            out[i] = finish(crop, coords, center, scale)[0]
         return out
 
 

@@ -44,6 +44,20 @@ def main():
     parser.add_argument("--align_3d", action="store_true",
                         help="3D-align faces before the R-Net (needs the "
                         "face-alignment port; default off)")
+    parser.add_argument("--fan_weights", type=str, default=None,
+                        help="path to a 1adrianb 2D/3DFAN-4 torch "
+                        "checkpoint; without it --align_3d falls back to "
+                        "the alignment-free bicubic resize (warns loudly)")
+    parser.add_argument("--detector", type=str, default=None,
+                        choices=["sfd", "blazeface"],
+                        help="face detector feeding FAN its crop box "
+                        "(reference api.py:116-190); default: whole-image "
+                        "box (valid for centered generator output)")
+    parser.add_argument("--detector_weights", type=str, default=None,
+                        help="torch checkpoint for --detector")
+    parser.add_argument("--depth_weights", type=str, default=None,
+                        help="1adrianb depth checkpoint: decode "
+                        "LandmarksType._3D z per landmark (api.py:168-182)")
     parser.add_argument("--no_shard", action="store_true",
                         help="disable sharding the sweep over the device "
                         "mesh (single-device batches)")
@@ -64,7 +78,33 @@ def main():
     if args.align_3d:
         from gan_control_tpu.alignment import make_align_fn
 
-        align_fn = make_align_fn()
+        fan_params = None
+        detector_params = None
+        depth_params = None
+        if args.fan_weights:
+            from gan_control_tpu.alignment import fan as fan_mod
+
+            fan_params = fan_mod.convert_torch_weights(args.fan_weights)
+        if args.detector:
+            if not args.detector_weights:
+                parser.error("--detector requires --detector_weights")
+            if args.detector == "sfd":
+                from gan_control_tpu.alignment import sfd as det_mod
+            else:
+                from gan_control_tpu.alignment import blazeface as det_mod
+            detector_params = det_mod.convert_torch_weights(
+                args.detector_weights
+            )
+        if args.depth_weights:
+            from gan_control_tpu.alignment import depth as depth_mod
+
+            depth_params = depth_mod.convert_torch_weights(args.depth_weights)
+        align_fn = make_align_fn(
+            fan_params,
+            detector=args.detector,
+            detector_params=detector_params,
+            depth_params=depth_params,
+        )
 
     # the shared predictor battery (jitted forwards, torch-weight loading,
     # DataFrame column naming) lives in ControlExtractor — one codepath for

@@ -739,3 +739,55 @@ def test_lpips_conversion_parity(tmp_path):
                                  jnp.asarray(to_nhwc(x1)))
     )
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ResNetDepth — face-alignment 3D z net (reference models.py:199-261)
+# ---------------------------------------------------------------------------
+
+
+class TorchResNetDepth(nn.Module):
+    """Reference layout: 71-channel stem, torchvision-named stages, fc."""
+
+    def __init__(self, layers=(1, 1, 1, 1), num_classes=68):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3 + 68, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.layer1 = make_layer(TorchBottleneck, 64, 64, layers[0], 1)
+        self.layer2 = make_layer(TorchBottleneck, 256, 128, layers[1], 2)
+        self.layer3 = make_layer(TorchBottleneck, 512, 256, layers[2], 2)
+        self.layer4 = make_layer(TorchBottleneck, 1024, 512, layers[3], 2)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = F.max_pool2d(F.relu(self.bn1(self.conv1(x))), 3, 2, 1)
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = F.avg_pool2d(x, 7)  # NOT global: single 7x7 window on 8x8
+        return self.fc(x.flatten(1))
+
+
+@pytest.mark.slow
+def test_resnet_depth_conversion_parity(tmp_path):
+    """convert_torch_weights handles the real container quirks: a
+    {'state_dict': ...} wrapper whose keys carry the DataParallel
+    'module.' prefix (reference api.py:86-91)."""
+    from gan_control_tpu.alignment import depth as depth_lib
+
+    torch.manual_seed(11)
+    layers = (1, 1, 1, 1)
+    tm = TorchResNetDepth(layers).eval()
+    randomize_bn(tm)
+    path = tmp_path / "depth.pth"
+    torch.save(
+        {"state_dict": {f"module.{k}": v for k, v in tm.state_dict().items()}},
+        path,
+    )
+
+    params = depth_lib.convert_torch_weights(str(path), layers=layers)
+    net = depth_lib.ResNetDepth(layers=layers)
+
+    x = torch.rand(1, 71, 256, 256)
+    with torch.no_grad():
+        want = tm(x).numpy()
+    got = np.asarray(net.apply(params, jnp.asarray(to_nhwc(x))))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
