@@ -25,6 +25,7 @@ from tools import convergence
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_blob_world_convergence():
     records = convergence.run(iters=300, eval_every=150, seed=0, out_path=None)
     first, last = records[0], records[-1]

@@ -14,6 +14,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
@@ -65,3 +66,31 @@ def test_train_mfu_measure_flow(monkeypatch, capsys):
     assert "cadence-amortized" in out, out
     imgs = float(out.rsplit("(", 1)[1].split(" imgs/s")[0])
     assert np.isfinite(imgs) and imgs > 0
+
+
+@pytest.mark.slow
+def test_mfu_gen_exe_flow(monkeypatch, capsys):
+    """--exe gen: the generation executable's cost analysis + measurement
+    (the serving-side roofline, VERDICT r4 item 7) on the CPU-scale model."""
+    from tools import train_mfu
+
+    monkeypatch.setattr(sys, "argv", ["train_mfu.py", "--measure", "--exe", "gen"])
+    train_mfu.main()
+    out = capsys.readouterr().out
+    assert "generation" in out
+    assert "measured=" in out and "limiter=" in out
+
+
+@pytest.mark.slow
+def test_mfu_phase2b_exe_flow(monkeypatch, capsys):
+    """--exe phase2b: the controller attribute_rec step (FcStack + frozen
+    G + frozen Hopenet) lowers, compiles and measures."""
+    from tools import train_mfu
+
+    monkeypatch.setattr(
+        sys, "argv", ["train_mfu.py", "--measure", "--exe", "phase2b"]
+    )
+    train_mfu.main()
+    out = capsys.readouterr().out
+    assert "phase2b_attr_rec_step" in out
+    assert "measured=" in out and "limiter=" in out

@@ -1,16 +1,28 @@
-"""MFU accounting for the phase-1 train step on the real chip.
+"""MFU / roofline accounting for ALL THREE executable families on the
+real chip: phase-1 training, generation (serving), and the phase-2b
+controller step.
 
-Usage:  python tools/train_mfu.py [--measure]
+Usage:  python tools/train_mfu.py [--measure] [--exe train|gen|phase2b|all]
 
-For each of the four train executables (d_step, g_step with the full
-contrastive battery, d_reg_step, g_reg_step) this prints XLA's own cost
-analysis — FLOPs and HBM bytes accessed — plus, with ``--measure``, the
-same-process back-to-back mean wall-clock (8 donated runs enqueued
-unsynced, one scalar-fetch sync at the end so the tunnel RTT amortizes)
-and the implied MFU against the v5e peak (197 TFLOP/s bf16 / 98.5 f32). This separates "the step is slow because
-the graph does too many FLOPs" from "the step is slow because the chip is
-idle" so optimization work targets the real limiter. Developer tool; not
-part of the driver contract (bench.py is).
+For each executable this prints XLA's own cost analysis — FLOPs and HBM
+bytes accessed — plus, with ``--measure``, the same-process back-to-back
+mean wall-clock (8 donated runs enqueued unsynced, one scalar-fetch sync
+at the end so the tunnel RTT amortizes) and the implied MFU against the
+v5e peak (197 TFLOP/s bf16 / 98.5 f32). This separates "the executable is
+slow because the graph does too many FLOPs" from "slow because the chip
+is idle" so optimization work targets the real limiter. Developer tool;
+not part of the driver contract (bench.py is).
+
+Executables beyond the four train steps:
+
+- ``gen``: the serving/generation forward exactly as bench.py's headline
+  measures it (batch 128, 512², bf16, fresh threefry noise).
+- ``phase2b``: the ControllerTrainer attribute_rec step at the reference
+  scale (batch 128 on one chip, reference README.md:86 + controller
+  config): FcStack forward -> slice insert -> frozen FFHQ-512 G synthesis
+  -> frozen Hopenet re-prediction -> MSE, with latent_rec, backward over
+  the CONTROLLER params only (the heavy frozen-G/predictor traffic is
+  activations, not grads — reference controller_trainer.py:202-239).
 """
 
 from __future__ import annotations
@@ -28,16 +40,111 @@ V5E_PEAK_BF16 = 197e12
 V5E_HBM_GBS = 819e9  # v5e HBM bandwidth, bytes/s
 
 
-def main():
+def build_gen_exe(on_tpu: bool):
+    """The bench.py generation headline graph: lowered jit + runner."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import FFHQ_GROUPS
+    from gan_control_tpu.latent.groups import GroupSpec
+    from gan_control_tpu.models.generator import Generator
+
+    batch = int(os.environ.get("BENCH_BATCH", 128 if on_tpu else 2))
+    size = 512 if on_tpu else 64
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    spec = GroupSpec.from_config(FFHQ_GROUPS, mini_batch=16)
+    gen = Generator(size=size, style_dim=512, n_mlp=8, split_fc=True,
+                    fc_groups=spec.fc_dims(), dtype=dtype)
+    z = jax.random.normal(jax.random.PRNGKey(0), (batch, 512))
+    params = gen.init({"params": jax.random.PRNGKey(1),
+                       "noise": jax.random.PRNGKey(2)}, [z[:1]])
+
+    def generate(params, z, rng):
+        img, _ = gen.apply(params, [z], rngs={"noise": rng})
+        return jnp.sum(img)
+
+    key = jax.random.PRNGKey(7)
+    lowered = jax.jit(generate).lower(params, z, key)
+
+    def run(compiled, _state):
+        return None, {"sum": compiled(params, z, key)}
+
+    return {"generation": (lowered, run, None)}, batch
+
+
+def build_phase2b_exe(on_tpu: bool):
+    """The attribute_rec controller step (ControllerTrainer._make_step
+    semantics, trainers/controller_trainer.py) at reference scale."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import FFHQ_GROUPS
+    from gan_control_tpu.latent.groups import GroupSpec
+    from gan_control_tpu.losses.predictors import hopenet as hp
+    from gan_control_tpu.models.controller import FcStack
+    from gan_control_tpu.models.generator import Generator
+    from gan_control_tpu.training.state import reg_adam
+
+    batch = int(os.environ.get("BENCH_CTRL_BATCH", 128 if on_tpu else 4))
+    size = 512 if on_tpu else 64
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    spec = GroupSpec.from_config(FFHQ_GROUPS, mini_batch=16)
+    gen = Generator(size=size, style_dim=512, n_mlp=8, split_fc=True,
+                    fc_groups=spec.fc_dims(), dtype=dtype)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 512))
+    g_params = gen.init({"params": jax.random.PRNGKey(1),
+                         "noise": jax.random.PRNGKey(2)}, [z])
+
+    group = spec.group("orientation")
+    s, e = group.latent_start, group.latent_end
+    ctrl = FcStack(n_mlp=4, mid_dim=512, out_dim=group.latent_size,
+                   lr_mlp=0.01)
+    c_params = ctrl.init(jax.random.PRNGKey(3), jnp.zeros((1, 3)))
+    pose = hp.make_model({})
+    pose_params = hp.init_params(pose, jax.random.PRNGKey(4))
+    tx = reg_adam(0.002, 4)
+    opt_state = tx.init(c_params)
+
+    controls = jax.random.normal(jax.random.PRNGKey(5), (batch, 3)) * 20.0
+    w = jax.random.normal(jax.random.PRNGKey(6), (batch, 512))
+    key = jax.random.PRNGKey(8)
+
+    def step(c_params, opt_state, controls, w, rng, g_params, pose_params):
+        def loss_fn(p):
+            pred_latent = ctrl.apply(p, controls)
+            rec = jnp.mean(jnp.abs(pred_latent - w[:, s:e]))
+            latent = w.at[:, s:e].set(pred_latent)
+            img, _ = gen.apply(g_params, [latent], input_is_latent=True,
+                               rngs={"noise": rng})
+            pred = hp.predict(pose, pose_params, img)
+            attr = jnp.mean(jnp.square(pred - controls))
+            return rec + 0.1 * attr, (rec, attr)
+
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(c_params)
+        updates, opt_state = tx.update(grads, opt_state, c_params)
+        c_params = optax.apply_updates(c_params, updates)
+        return (c_params, opt_state), {"loss": loss}
+
+    lowered = jax.jit(step, donate_argnums=(0, 1)).lower(
+        c_params, opt_state, controls, w, key, g_params, pose_params
+    )
+    carry = {"c": c_params, "o": opt_state}
+
+    def run(compiled, _state):
+        (carry["c"], carry["o"]), m = compiled(
+            carry["c"], carry["o"], controls, w, key, g_params, pose_params
+        )
+        return None, m
+
+    return {"phase2b_attr_rec_step": (lowered, run, None)}, batch
+
+
+def build_train_exes(on_tpu: bool):
     import jax
 
-    from bench import _setup_jax, build_train_harness
+    from bench import build_train_harness
 
-    measure = "--measure" in sys.argv
-    on_tpu = jax.default_backend() != "cpu"
-    # persistent compile cache: 4 big executables, minutes each cold over
-    # the tunnel — warm runs load from /tmp/jax_tpu_cache instead
-    _setup_jax(on_tpu)
     h = build_train_harness(on_tpu=on_tpu)
     steps, state, pred_params = h["steps"], h["state"], h["pred_params"]
     real, zs, cfg, batch = h["real"], h["zs"], h["cfg"], h["batch"]
@@ -47,66 +154,100 @@ def main():
     # in-flight timed execution allocates a FULL new output state, and the
     # back-to-back rep loop OOMs the 16GB chip on accumulated state copies
     donate = {"donate_argnums": (0,)}
-    lowered = {
-        "d_step": jax.jit(steps["d_step"], **donate).lower(state, real, (zs[0],)),
-        "g_step": jax.jit(steps["g_step"], **donate).lower(state, (zs[1],), pred_params),
-        "d_reg_step": jax.jit(steps["d_reg_step"], **donate).lower(state, real),
-        "g_reg_step": jax.jit(steps["g_reg_step"], **donate).lower(
-            state, (zs[2][:path_batch],)
-        ),
+    carry = {"state": state}
+    exes = {}
+    specs = {
+        "d_step": (lambda st: jax.jit(steps["d_step"], **donate).lower(
+            st, real, (zs[0],)), lambda f, st: f(st, real, (zs[0],))),
+        "g_step": (lambda st: jax.jit(steps["g_step"], **donate).lower(
+            st, (zs[1],), pred_params), lambda f, st: f(st, (zs[1],), pred_params)),
+        "d_reg_step": (lambda st: jax.jit(steps["d_reg_step"], **donate).lower(
+            st, real), lambda f, st: f(st, real)),
+        "g_reg_step": (lambda f_st: jax.jit(steps["g_reg_step"], **donate).lower(
+            f_st, (zs[2][:path_batch],)),
+            lambda f, st: f(st, (zs[2][:path_batch],))),
     }
-    calls = {
-        "d_step": lambda f, s: f(s, real, (zs[0],)),
-        "g_step": lambda f, s: f(s, (zs[1],), pred_params),
-        "d_reg_step": lambda f, s: f(s, real),
-        "g_reg_step": lambda f, s: f(s, (zs[2][:path_batch],)),
-    }
-
-    total_amortized = 0.0
     cadence = {"d_step": 1.0, "g_step": 1.0,
                "d_reg_step": 1.0 / cfg.d_reg_every,
                "g_reg_step": 1.0 / cfg.g_reg_every}
-    for name, low in lowered.items():
+    for name, (lower, call) in specs.items():
+        def run(compiled, _unused, _call=call):
+            carry["state"], m = _call(compiled, carry["state"])
+            return None, m
+
+        exes[name] = (lower(state), run, cadence[name])
+    return exes, batch
+
+
+def report(exes: dict, batch: int, measure: bool, label: str):
+    total_amortized = 0.0
+    have_cadence = all(c is not None for _, _, c in exes.values())
+    for name, (low, run, cad) in exes.items():
         compiled = low.compile()
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops", 0.0))
         bytes_acc = float(cost.get("bytes accessed", 0.0))
-        line = (f"{name:11s} flops={flops/1e12:7.3f} TF  "
+        line = (f"{name:22s} flops={flops/1e12:7.3f} TF  "
                 f"hbm={bytes_acc/1e9:7.2f} GB  "
                 f"compute-floor={flops/V5E_PEAK_BF16*1e3:6.1f} ms  "
                 f"hbm-floor={bytes_acc/V5E_HBM_GBS*1e3:6.1f} ms")
         if measure:
-            run = calls[name]
-
             def force(metrics):
                 # block_until_ready is a NO-OP over the axon tunnel: only a
                 # scalar FETCH proves the program ran (verify SKILL.md); one
                 # fetch drains the whole enqueued stream
                 return float(np.asarray(next(iter(metrics.values()))))
 
-            # the state THREADS through every run (donated in, new out) —
-            # constant memory exactly like the trainer's pipelined dispatch
-            state, m = run(compiled, state)
+            _, m = run(compiled, None)
             force(m)  # warmup (load + first run)
             reps = 8
             t0 = time.perf_counter()
             for _ in range(reps):
-                state, m = run(compiled, state)
+                _, m = run(compiled, None)
             force(m)
             # back-to-back mean: the ~0.1 s tunnel RTT of the final sync
             # amortizes over reps instead of inflating every sample
             dt = (time.perf_counter() - t0) / reps
             mfu = flops / V5E_PEAK_BF16 / dt
             hbm_util = bytes_acc / V5E_HBM_GBS / dt
-            line += f"  measured={dt*1e3:7.1f} ms  MFU={mfu:5.1%}  HBM={hbm_util:5.1%}"
-            total_amortized += dt * cadence[name]
+            limiter = ("HBM" if bytes_acc / V5E_HBM_GBS
+                       > flops / V5E_PEAK_BF16 else "compute")
+            line += (f"  measured={dt*1e3:7.1f} ms  MFU={mfu:5.1%}  "
+                     f"HBM={hbm_util:5.1%}  limiter={limiter} "
+                     f"({batch/dt:.1f} imgs/s)")
+            if cad is not None:
+                total_amortized += dt * cad
             del m
         print(line)
-    if measure:
-        print(f"cadence-amortized (sync-bounded upper bound): "
+    if measure and have_cadence and total_amortized:
+        print(f"[{label}] cadence-amortized (sync-bounded upper bound): "
               f"{total_amortized*1e3:.1f} ms/iter "
               f"({batch/total_amortized:.1f} imgs/s)")
+
+
+def main():
+    import jax
+
+    from bench import _setup_jax
+
+    measure = "--measure" in sys.argv
+    which = "train"
+    if "--exe" in sys.argv:
+        which = sys.argv[sys.argv.index("--exe") + 1]
+    on_tpu = jax.default_backend() != "cpu"
+    # persistent compile cache: big executables, minutes each cold over
+    # the tunnel — warm runs load from /tmp/jax_tpu_cache instead
+    _setup_jax(on_tpu)
+    if which in ("train", "all"):
+        exes, batch = build_train_exes(on_tpu)
+        report(exes, batch, measure, "train")
+    if which in ("gen", "all"):
+        exes, batch = build_gen_exe(on_tpu)
+        report(exes, batch, measure, "gen")
+    if which in ("phase2b", "all"):
+        exes, batch = build_phase2b_exe(on_tpu)
+        report(exes, batch, measure, "phase2b")
 
 
 if __name__ == "__main__":
