@@ -100,7 +100,18 @@ class ControllerTrainer:
 
         # working group + latent slice
         loss_name = mc["loss"]
-        self.working_group = LOSS_TO_GROUP[loss_name]
+        if loss_name in LOSS_TO_GROUP:
+            self.working_group = LOSS_TO_GROUP[loss_name]
+        elif loss_name.endswith("_loss"):
+            # custom loss blocks beyond the reference battery (e.g. the
+            # blob-world toy predictors in tools/control_fidelity.py)
+            # control the group of the same name
+            self.working_group = loss_name[: -len("_loss")]
+        else:
+            raise KeyError(
+                f"model_config.loss {loss_name!r}: not a known loss "
+                f"({sorted(LOSS_TO_GROUP)}) and not '<group>_loss'-shaped"
+            )
         if self.spec is None:
             # vanilla (merged-attribute) generator: no latent partition, so
             # the controller predicts the FULL w from the control (reference
