@@ -93,6 +93,11 @@ def cast_predictor_params(params: Any, dtype) -> Any:
     """
     import jax.numpy as jnp
 
+    if str(dtype) == "int8":
+        # int8 STORAGE experiment (TRAINING.md "battery storage dtype"):
+        # per-tensor symmetric quantization; dequantized to the compute
+        # dtype inside the jitted step (train_step._attr_losses_for_batch)
+        return _map_shared_trees(params, _quantize_tree_int8)
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float32:
         return params
@@ -105,19 +110,56 @@ def cast_predictor_params(params: Any, dtype) -> Any:
             tree,
         )
 
+    return _map_shared_trees(params, cast_tree)
+
+
+def _map_shared_trees(params, fn):
+    """Apply ``fn`` per distinct tree, preserving aliasing: the recon-3d
+    sub-losses all point at ONE shared R-Net tree (build_attr_losses:
+    ``params[sub_name] = p``) — transforming each distinct tree once keeps
+    that, or the transform would materialize seven R-Net copies on
+    device."""
     if not isinstance(params, dict):
-        return cast_tree(params)
-    # the recon-3d sub-losses all point at ONE shared R-Net tree
-    # (build_attr_losses: ``params[sub_name] = p``) — cast each distinct
-    # tree once and keep the aliasing, or the cast would materialize seven
-    # R-Net copies on device
+        return fn(params)
     memo: dict[int, Any] = {}
     out = {}
     for name, tree in params.items():
         if id(tree) not in memo:
-            memo[id(tree)] = cast_tree(tree)
+            memo[id(tree)] = fn(tree)
         out[name] = memo[id(tree)]
     return out
+
+
+def _quantize_tree_int8(tree):
+    import jax.numpy as jnp
+    import numpy as np
+
+    def q(x):
+        if not (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)):
+            return x
+        arr = np.asarray(x, np.float32)
+        scale = float(np.max(np.abs(arr)) / 127.0) or 1.0
+        return {"q": jnp.asarray(np.round(arr / scale).astype(np.int8)),
+                "s": jnp.float32(scale)}
+
+    return jax.tree_util.tree_map(q, tree)
+
+
+def dequantize_predictor_params(params, dtype):
+    """Inverse of the int8 storage quantization: {"q","s"} leaf dicts ->
+    ``dtype`` arrays; any other leaf passes through unchanged. Runs INSIDE
+    the jitted step so HBM holds int8 (+8 scale bytes) per tensor."""
+    import jax.numpy as jnp
+
+    def is_q(x):
+        return isinstance(x, dict) and set(x.keys()) == {"q", "s"}
+
+    def deq(x):
+        if is_q(x):
+            return (x["q"].astype(jnp.float32) * x["s"]).astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(deq, params, is_leaf=is_q)
 
 
 def build_attr_losses(

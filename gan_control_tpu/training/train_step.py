@@ -153,7 +153,17 @@ def _attr_losses_for_batch(
     # at images.dtype — the cast at its apply entry keys off this). The
     # contrastive thresholds (lower/upper_thres) were calibrated on float32
     # feature distances, so features are upcast back to f32 below before any
-    # distance math regardless of the backbone dtype.
+    # distance math regardless of the backbone dtype. int8 storage computes
+    # in bf16: the quantized {"q","s"} leaves are dequantized HERE, inside
+    # the jitted step, so HBM holds int8 per tensor (registry.
+    # dequantize_predictor_params; the A/B lives in tools/battery_share.py).
+    if jnp.dtype(dtype) == jnp.int8:
+        from gan_control_tpu.losses.registry import dequantize_predictor_params
+
+        dtype = jnp.bfloat16
+        predictor_params = dequantize_predictor_params(
+            predictor_params, dtype
+        )
     images = images.astype(dtype)
     mb = images.shape[0] // num_mini
 

@@ -268,3 +268,122 @@ def test_trainer_casts_battery_params_under_bf16_plan(tmp_path):
     float_leaves = [l for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)]
     assert float_leaves
     assert all(l.dtype == jnp.bfloat16 for l in float_leaves)
+
+
+def test_int8_quantize_roundtrip_and_aliasing():
+    """cast_predictor_params(..., 'int8') stores {"q","s"} int8 leaves;
+    dequantize restores values to within half a quantization step; shared
+    trees stay aliased; integer leaves pass through."""
+    from gan_control_tpu.losses.registry import (
+        cast_predictor_params,
+        dequantize_predictor_params,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((16, 16)).astype(np.float32))
+    shared = {"w": w, "steps": jnp.array(3, jnp.int32)}
+    params = {"recon_3d_loss": shared, "recon_gamma_loss": shared}
+    q = cast_predictor_params(params, "int8")
+    assert q["recon_3d_loss"] is q["recon_gamma_loss"]
+    leaf = q["recon_3d_loss"]["w"]
+    assert set(leaf.keys()) == {"q", "s"}
+    assert leaf["q"].dtype == jnp.int8
+    assert q["recon_3d_loss"]["steps"].dtype == jnp.int32
+
+    deq = dequantize_predictor_params(q, jnp.float32)
+    step = float(leaf["s"])
+    np.testing.assert_allclose(
+        np.asarray(deq["recon_3d_loss"]["w"]), np.asarray(w),
+        atol=step / 2 + 1e-7,
+    )
+    assert deq["recon_3d_loss"]["steps"].dtype == jnp.int32
+
+
+def test_train_step_predictor_dtype_int8():
+    """predictor_dtype='int8': the battery's quantized params are
+    dequantized INSIDE the jitted g_step to bf16 (compute dtype), images
+    arrive bf16, loss math stays f32 and finite."""
+    from gan_control_tpu.latent.groups import GroupSpec, LatentGroup
+    from gan_control_tpu.losses.contrastive import (
+        ContrastiveConfig,
+        pairwise_sq_l2,
+    )
+    from gan_control_tpu.losses.registry import cast_predictor_params
+    from gan_control_tpu.models.discriminator import Discriminator
+    from gan_control_tpu.models.generator import Generator
+    from gan_control_tpu.training.state import (
+        init_gan_state,
+        make_gan_optimizers,
+    )
+    from gan_control_tpu.training.train_step import (
+        AttributeLossSpec,
+        TrainStepConfig,
+        make_train_steps,
+    )
+
+    size, batch, style = 16, 8, 64
+    spec = GroupSpec(
+        groups=(
+            LatentGroup("id", 0, 32, mb_start=0, mb_end=4),
+            LatentGroup("other", 32, 64, mb_start=4, mb_end=8),
+        ),
+        mini_batch=batch,
+        style_dim=style,
+    )
+    gen = Generator(size=size, style_dim=style, n_mlp=2, split_fc=True,
+                    fc_groups=spec.fc_dims(), max_channels=32)
+    disc = Discriminator(size=size, max_channels=32)
+    g_tx, d_tx = make_gan_optimizers(
+        {"lr_g": 2e-3, "lr_d": 2e-3, "g_reg_every": 4, "d_reg_every": 16}
+    )
+
+    w_true = jnp.asarray(
+        np.random.default_rng(1).standard_normal((3, 4)).astype(np.float32)
+    )
+    seen = {}
+
+    def spy_features(params, images):
+        seen["img_dtype"] = images.dtype
+        seen["w_dtype"] = params["w"].dtype
+        emb = jnp.mean(images, axis=(1, 2)) @ params["w"].astype(images.dtype)
+        return [emb]
+
+    attr = (
+        AttributeLossSpec(
+            name="embedding_loss",
+            group="id",
+            cfg=ContrastiveConfig(
+                intermediate_weights=(), last_layer_weight=1.0,
+                lower_thres=(), upper_thres=(),
+                last_lower_thres=0.1, last_upper_thres=1.0,
+                focus_on=("same_as_last_layer",),
+            ),
+            feature_fn=spy_features,
+            dist_fn=pairwise_sq_l2,
+        ),
+    )
+    cfg = TrainStepConfig(batch=batch, mini_batch=batch, style_dim=style,
+                          predictor_dtype="int8")
+    steps = make_train_steps(gen, disc, cfg, spec=spec, attr_losses=attr,
+                             g_tx=g_tx, d_tx=d_tx)
+    state = init_gan_state(gen, disc, g_tx, d_tx, jax.random.PRNGKey(0),
+                           style_dim=style)
+    pred_params = cast_predictor_params(
+        {"embedding_loss": {"w": w_true}}, "int8"
+    )
+    z = jax.random.normal(jax.random.PRNGKey(2), (batch, style))
+    _, metrics = jax.jit(steps["g_step"])(state, (z,), pred_params)
+    assert seen["img_dtype"] == jnp.bfloat16
+    assert seen["w_dtype"] == jnp.bfloat16
+    # dequantized values approximate the originals (int8 + bf16 rounding):
+    # verified host-side on the same quantized tree (the in-step dequant is
+    # the same registry function, exercised above via the spy dtypes)
+    from gan_control_tpu.losses.registry import dequantize_predictor_params
+
+    deq = dequantize_predictor_params(pred_params, jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(deq["embedding_loss"]["w"], np.float32),
+        np.asarray(w_true), atol=0.05,
+    )
+    assert metrics["g_embedding_loss"].dtype == jnp.float32
+    assert np.isfinite(float(metrics["g_loss"]))

@@ -55,6 +55,7 @@ def main():
     legs = [
         ("g_step_battery_f32", True, "float32"),
         ("g_step_battery_bf16", True, "bfloat16"),
+        ("g_step_battery_int8", True, "int8"),
         ("g_step_adv_only", False, "float32"),
     ]
     for name, attr, dtype in legs:
