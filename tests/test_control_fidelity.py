@@ -77,3 +77,13 @@ def test_control_fidelity_short_run(tmp_path):
     assert v["phase1_disentangled"], records
     assert min(v["color_spearman_means"]) >= 0.6, v
     assert min(v["position_spearman_means"]) >= 0.6, v
+
+
+def test_spearman_tie_handling():
+    from tools.control_fidelity import spearman
+
+    x = np.arange(8.0)
+    # ties share an average rank
+    y = np.array([0, 0, 1, 1, 2, 2, 3, 3], float)
+    assert spearman(x, y) == pytest.approx(0.9759000729485331, abs=1e-6)
+    assert spearman(y, y) == pytest.approx(1.0)

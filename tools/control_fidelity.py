@@ -69,10 +69,29 @@ from tools.convergence import (
 # reaching past the generator's q99) measures extrapolation, not control.
 
 
+def _avg_ranks(v: np.ndarray) -> np.ndarray:
+    """Average ranks with proper tie handling (a constant vector gets one
+    shared rank — argsort-of-argsort would break ties by index and score a
+    FLAT response as perfectly correlated)."""
+    v = np.asarray(v)
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    ranks = np.empty(len(v), np.float64)
+    i = 0
+    while i < len(v):
+        j = i
+        while j + 1 < len(v) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0
+        i = j + 1
+    return ranks
+
+
 def spearman(x: np.ndarray, y: np.ndarray) -> float:
-    """Spearman rank correlation (no scipy dependency)."""
-    rx = np.argsort(np.argsort(x)).astype(np.float64)
-    ry = np.argsort(np.argsort(y)).astype(np.float64)
+    """Spearman rank correlation, tie-aware (no scipy dependency);
+    0.0 when either input is constant."""
+    rx = _avg_ranks(x)
+    ry = _avg_ranks(y)
     rx -= rx.mean()
     ry -= ry.mean()
     denom = np.sqrt((rx**2).sum() * (ry**2).sum())
