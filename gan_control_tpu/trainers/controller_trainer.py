@@ -95,6 +95,17 @@ class ControllerTrainer:
         # frozen phase-1 generator
         self.inference = Inference(tc["generator_dir"])
         self.generator = self.inference.model
+        # attribute_rec backprops THROUGH the frozen G back to the
+        # controller output: at 512²/batch 128 the un-remat'ed synthesis
+        # activations blow the 16GB v5e (measured: OOM even at batch 64) —
+        # the training step runs on a remat'ed clone (per-conv
+        # rematerialization, the same plan the phase-1 reg steps use);
+        # eval/sample forwards have no backward and keep the plain module
+        self.generator_step = (
+            self.generator.clone(remat=True)
+            if tc.get("remat", True) and hasattr(self.generator, "remat")
+            else self.generator
+        )
         self.g_params = self.inference.params
         self.spec = self.inference.spec
 
@@ -317,7 +328,7 @@ class ControllerTrainer:
                 total = rec if self.use_latent_rec else jnp.zeros((), rec.dtype)
                 if self.use_attribute_rec:
                     latent = org_latent.at[:, s:e].set(pred_latent)
-                    img, _ = self.generator.apply(
+                    img, _ = self.generator_step.apply(
                         g_params, [latent], input_is_latent=True,
                         rngs={"noise": rng},
                     )

@@ -73,8 +73,18 @@ def build_gen_exe(on_tpu: bool):
 
 
 def build_phase2b_exe(on_tpu: bool):
-    """The attribute_rec controller step (ControllerTrainer._make_step
-    semantics, trainers/controller_trainer.py) at reference scale."""
+    """Two controller-step executables (ControllerTrainer._make_step
+    semantics, trainers/controller_trainer.py):
+
+    - ``phase2b_latent_rec_step``: batch 128, latent_rec only — the
+      configuration the reference actually SHIPPED (its controller
+      configs disable attribute_rec by name-mangling:
+      ``"losses": [..., "attribute_rec_"]``,
+      orientation_w_latent_controller.json) — no G in the graph.
+    - ``phase2b_attr_rec_step``: the full attribute_rec step (frozen
+      remat'ed FFHQ-512 G + frozen Hopenet in the backward) at
+      BENCH_CTRL_BATCH (default 32: batch 128 needs 27 GB even
+      remat'ed — this leg is a HEAVIER-than-reference capability)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -86,12 +96,16 @@ def build_phase2b_exe(on_tpu: bool):
     from gan_control_tpu.models.generator import Generator
     from gan_control_tpu.training.state import reg_adam
 
-    batch = int(os.environ.get("BENCH_CTRL_BATCH", 128 if on_tpu else 4))
+    batch = int(os.environ.get("BENCH_CTRL_BATCH", 32 if on_tpu else 4))
     size = 512 if on_tpu else 64
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     spec = GroupSpec.from_config(FFHQ_GROUPS, mini_batch=16)
+    # remat'ed synthesis, like ControllerTrainer's training step: the
+    # attribute_rec backward through the frozen 512² G OOMs the 16GB v5e
+    # un-remat'ed (measured, even at batch 64)
     gen = Generator(size=size, style_dim=512, n_mlp=8, split_fc=True,
-                    fc_groups=spec.fc_dims(), dtype=dtype)
+                    fc_groups=spec.fc_dims(), dtype=dtype,
+                    remat=on_tpu)
     z = jax.random.normal(jax.random.PRNGKey(0), (1, 512))
     g_params = gen.init({"params": jax.random.PRNGKey(1),
                          "noise": jax.random.PRNGKey(2)}, [z])
@@ -137,7 +151,38 @@ def build_phase2b_exe(on_tpu: bool):
         )
         return None, m
 
-    return {"phase2b_attr_rec_step": (lowered, run, None)}, batch
+    # the reference-shipped configuration: latent_rec only, batch 128
+    ref_batch = 128 if on_tpu else 8
+    controls_ref = jax.random.normal(jax.random.PRNGKey(9),
+                                     (ref_batch, 3)) * 20.0
+    w_ref = jax.random.normal(jax.random.PRNGKey(10), (ref_batch, 512))
+    c2 = ctrl.init(jax.random.PRNGKey(11), jnp.zeros((1, 3)))
+    o2 = tx.init(c2)
+
+    def step_rec(c_params, opt_state, controls, w):
+        def loss_fn(p):
+            pred_latent = ctrl.apply(p, controls)
+            return jnp.mean(jnp.abs(pred_latent - w[:, s:e])), ()
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(c_params)
+        updates, opt_state = tx.update(grads, opt_state, c_params)
+        return (optax.apply_updates(c_params, updates), opt_state), {
+            "loss": loss
+        }
+
+    lowered_rec = jax.jit(step_rec, donate_argnums=(0, 1)).lower(
+        c2, o2, controls_ref, w_ref
+    )
+    carry2 = {"c": c2, "o": o2}
+
+    def run_rec(compiled, _state):
+        (carry2["c"], carry2["o"]), m = compiled(
+            carry2["c"], carry2["o"], controls_ref, w_ref
+        )
+        return None, m
+
+    return {"phase2b_latent_rec_step": (lowered_rec, run_rec, None),
+            "phase2b_attr_rec_step": (lowered, run, None)}, batch
 
 
 def build_train_exes(on_tpu: bool):
