@@ -69,6 +69,7 @@ def test_train_mfu_measure_flow(monkeypatch, capsys):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_mfu_gen_exe_flow(monkeypatch, capsys):
     """--exe gen: the generation executable's cost analysis + measurement
     (the serving-side roofline, VERDICT r4 item 7) on the CPU-scale model."""
@@ -82,6 +83,7 @@ def test_mfu_gen_exe_flow(monkeypatch, capsys):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_mfu_phase2b_exe_flow(monkeypatch, capsys):
     """--exe phase2b: the controller attribute_rec step (FcStack + frozen
     G + frozen Hopenet) lowers, compiles and measures."""
