@@ -66,14 +66,28 @@ def test_control_fidelity_short_run(tmp_path):
     for clear disentanglement (tools/results/convergence_run.jsonl shows
     ratios < 0.5 by iter 300), controllers 800 iters. The fidelity bar is
     relaxed vs the committed run (less training) but still demands real
-    monotone control on every dimension."""
-    from tools import control_fidelity as cf
+    monotone control on every dimension.
 
-    records = cf.run(
-        iters=400, ctrl_iters=800, n_samples=2048,
-        workdir=tmp_path / "wd", seed=0, out_path=None,
+    Runs as a SUBPROCESS of the CLI: the in-process variant aborted the
+    nightly pytest session (the accumulated compiled-executable memory of
+    the earlier nightly tests plus this pipeline exceeds the box), and the
+    subprocess also exercises the tool's actual entry point."""
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "cf.jsonl"
+    proc = subprocess.run(
+        [_sys.executable, "tools/control_fidelity.py",
+         "--iters", "400", "--ctrl-iters", "800", "--n-samples", "2048",
+         "--workdir", str(tmp_path / "wd"), "--out", str(out)],
+        cwd=Path(__file__).parent.parent,
+        capture_output=True, text=True, timeout=5000,
     )
+    assert out.exists(), (proc.returncode, proc.stdout[-2000:],
+                          proc.stderr[-2000:])
+    records = [json.loads(l) for l in out.read_text().splitlines() if l]
     v = records[-1]
+    assert "color_spearman_means" in v, records
     assert v["phase1_disentangled"], records
     assert min(v["color_spearman_means"]) >= 0.6, v
     assert min(v["position_spearman_means"]) >= 0.6, v
