@@ -69,7 +69,10 @@ def _setup_jax(on_tpu: bool):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def bench_generation(on_tpu: bool) -> dict:
+def build_gen_harness(on_tpu: bool) -> dict:
+    """The headline generation graph, shared by bench_generation and
+    tools/train_mfu.py --exe gen (one builder so the MFU accounting can
+    never diverge from the graph the headline actually measures)."""
     import jax
     import jax.numpy as jnp
 
@@ -88,12 +91,23 @@ def bench_generation(on_tpu: bool) -> dict:
     params = gen.init({"params": jax.random.PRNGKey(1),
                        "noise": jax.random.PRNGKey(2)}, [z[:1]])
 
-    @jax.jit
     def generate(params, z, rng):
         img, _ = gen.apply(params, [z], rngs={"noise": rng})
         # scalar reduction: fetching it forces full device completion even
         # on remote-tunnel backends where block_until_ready is unreliable
         return jnp.sum(img)
+
+    return {"gen": gen, "params": params, "z": z, "generate": generate,
+            "batch": batch, "size": size, "spec": spec}
+
+
+def bench_generation(on_tpu: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    h = build_gen_harness(on_tpu)
+    params, z, batch, size = h["params"], h["z"], h["batch"], h["size"]
+    generate = jax.jit(h["generate"])
 
     keys = [jax.random.PRNGKey(100 + i) for i in range(24)]
     float(generate(params, z, keys[0]))  # compile + warmup

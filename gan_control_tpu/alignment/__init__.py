@@ -81,6 +81,18 @@ def make_align_fn(fan_params=None, lm3d=None, detector=None,
     from gan_control_tpu.losses.predictors.common import resize_bicubic
 
     if fan_params is None:
+        if detector is not None or detector_params is not None \
+                or depth_params is not None:
+            # explicit detector/depth configuration without FAN weights is
+            # a misconfiguration, not a fallback: silently discarding the
+            # nets the caller loaded would build the DataFrame from
+            # unaligned crops while the user believes alignment ran
+            raise ValueError(
+                "make_align_fn: detector/depth were configured but no FAN "
+                "weights were given — the landmark stage is what consumes "
+                "them. Pass fan_params (--fan_weights) or drop the "
+                "detector/depth arguments."
+            )
         _log.warning(
             "make_align_fn: no FAN weights given — falling back to the "
             "alignment-FREE bicubic 224 resize (the reference's "

@@ -13,10 +13,12 @@ Behavior contract:
   - Output: 68 scalars = per-landmark depth in crop space; the facade
     rescales by ``200*scale/256`` into original-image units (api.py:182).
 
-TPU-first notes: the whole batch of heatmaps is rendered as one
-vectorized numpy broadcast (no per-landmark python loop over pixels) and
-the network is the shared frozen ``ResNetTrunk`` running in one jit; the
-trunk is all 3x3/1x1 convs, which XLA tiles onto the MXU directly.
+TPU-first notes: the network is the shared frozen ``ResNetTrunk``
+running in one jit — all 3x3/1x1 convs, which XLA tiles onto the MXU
+directly. Heatmap rendering is host-side numpy: a per-(image, landmark)
+loop that pastes one precomputed 13x13 patch each (B*68 small copies per
+batch — microseconds against the ResNet forward; vectorize it before
+believing it shows up in a profile).
 """
 
 from __future__ import annotations

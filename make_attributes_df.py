@@ -78,6 +78,9 @@ def main():
     if args.align_3d:
         from gan_control_tpu.alignment import make_align_fn
 
+        if (args.detector or args.depth_weights) and not args.fan_weights:
+            parser.error("--detector/--depth_weights require --fan_weights "
+                         "(FAN landmarks are what consume them)")
         fan_params = None
         detector_params = None
         depth_params = None

@@ -283,3 +283,14 @@ def test_fan_landmarks_3d_shape():
     assert boxed.shape == (2, 68, 3)
     # image 0's whole-image box must reproduce the no-boxes result
     np.testing.assert_allclose(boxed[0], lm3[0], atol=1e-4)
+
+
+def test_make_align_fn_rejects_detector_without_fan():
+    """Detector/depth weights without FAN weights is a misconfiguration,
+    not a silent fallback: the landmark stage is what consumes them."""
+    from gan_control_tpu import alignment
+
+    with pytest.raises(ValueError, match="no FAN"):
+        alignment.make_align_fn(None, detector="sfd", detector_params={})
+    with pytest.raises(ValueError, match="no FAN"):
+        alignment.make_align_fn(None, depth_params={})

@@ -11,6 +11,7 @@ reference README.md:70.)"""
 
 from __future__ import annotations
 
+import functools
 import sys
 from pathlib import Path
 
@@ -59,6 +60,7 @@ def test_g_step_allreduce_covers_g_gradients():
     assert res["per_step"]["g_step"].get("all-gather", 0) <= 64 * 1024
 
 
+@functools.lru_cache(maxsize=4)
 def _compile_collectives(n_devices: int, batch: int):
     steps, state, cfg, size, style = build_small_steps(batch)
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))

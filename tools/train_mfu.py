@@ -41,35 +41,22 @@ V5E_HBM_GBS = 819e9  # v5e HBM bandwidth, bytes/s
 
 
 def build_gen_exe(on_tpu: bool):
-    """The bench.py generation headline graph: lowered jit + runner."""
+    """The bench.py generation headline graph — the SAME builder
+    (bench.build_gen_harness), so this accounting cannot diverge from the
+    graph the headline measures."""
     import jax
-    import jax.numpy as jnp
 
-    from __graft_entry__ import FFHQ_GROUPS
-    from gan_control_tpu.latent.groups import GroupSpec
-    from gan_control_tpu.models.generator import Generator
+    from bench import build_gen_harness
 
-    batch = int(os.environ.get("BENCH_BATCH", 128 if on_tpu else 2))
-    size = 512 if on_tpu else 64
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    spec = GroupSpec.from_config(FFHQ_GROUPS, mini_batch=16)
-    gen = Generator(size=size, style_dim=512, n_mlp=8, split_fc=True,
-                    fc_groups=spec.fc_dims(), dtype=dtype)
-    z = jax.random.normal(jax.random.PRNGKey(0), (batch, 512))
-    params = gen.init({"params": jax.random.PRNGKey(1),
-                       "noise": jax.random.PRNGKey(2)}, [z[:1]])
-
-    def generate(params, z, rng):
-        img, _ = gen.apply(params, [z], rngs={"noise": rng})
-        return jnp.sum(img)
-
+    h = build_gen_harness(on_tpu)
+    params, z = h["params"], h["z"]
     key = jax.random.PRNGKey(7)
-    lowered = jax.jit(generate).lower(params, z, key)
+    lowered = jax.jit(h["generate"]).lower(params, z, key)
 
     def run(compiled, _state):
         return None, {"sum": compiled(params, z, key)}
 
-    return {"generation": (lowered, run, None)}, batch
+    return {"generation": (lowered, run, None, h["batch"])}
 
 
 def build_phase2b_exe(on_tpu: bool):
@@ -181,8 +168,8 @@ def build_phase2b_exe(on_tpu: bool):
         )
         return None, m
 
-    return {"phase2b_latent_rec_step": (lowered_rec, run_rec, None),
-            "phase2b_attr_rec_step": (lowered, run, None)}, batch
+    return {"phase2b_latent_rec_step": (lowered_rec, run_rec, None, ref_batch),
+            "phase2b_attr_rec_step": (lowered, run, None, batch)}
 
 
 def build_train_exes(on_tpu: bool):
@@ -215,19 +202,26 @@ def build_train_exes(on_tpu: bool):
     cadence = {"d_step": 1.0, "g_step": 1.0,
                "d_reg_step": 1.0 / cfg.d_reg_every,
                "g_reg_step": 1.0 / cfg.g_reg_every}
+    # per-executable batch: g_reg_step processes the SHRUNK path batch
+    per_batch = {"d_step": batch, "g_step": batch, "d_reg_step": batch,
+                 "g_reg_step": path_batch}
     for name, (lower, call) in specs.items():
         def run(compiled, _unused, _call=call):
             carry["state"], m = _call(compiled, carry["state"])
             return None, m
 
-        exes[name] = (lower(state), run, cadence[name])
-    return exes, batch
+        exes[name] = (lower(state), run, cadence[name], per_batch[name])
+    return exes
 
 
-def report(exes: dict, batch: int, measure: bool, label: str):
+def report(exes: dict, measure: bool, label: str):
     total_amortized = 0.0
-    have_cadence = all(c is not None for _, _, c in exes.values())
-    for name, (low, run, cad) in exes.items():
+    have_cadence = all(c is not None for _, _, c, _ in exes.values())
+    # the family's cadence-amortized imgs/s is over the FULL train batch
+    # (the reg steps amortize into it; g_reg's shrunk path batch only
+    # affects its own per-exe line)
+    family_batch = max(b for _, _, _, b in exes.values())
+    for name, (low, run, cad, batch) in exes.items():
         compiled = low.compile()
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
@@ -268,7 +262,7 @@ def report(exes: dict, batch: int, measure: bool, label: str):
     if measure and have_cadence and total_amortized:
         print(f"[{label}] cadence-amortized (sync-bounded upper bound): "
               f"{total_amortized*1e3:.1f} ms/iter "
-              f"({batch/total_amortized:.1f} imgs/s)")
+              f"({family_batch/total_amortized:.1f} imgs/s)")
 
 
 def main():
@@ -285,14 +279,11 @@ def main():
     # the tunnel — warm runs load from /tmp/jax_tpu_cache instead
     _setup_jax(on_tpu)
     if which in ("train", "all"):
-        exes, batch = build_train_exes(on_tpu)
-        report(exes, batch, measure, "train")
+        report(build_train_exes(on_tpu), measure, "train")
     if which in ("gen", "all"):
-        exes, batch = build_gen_exe(on_tpu)
-        report(exes, batch, measure, "gen")
+        report(build_gen_exe(on_tpu), measure, "gen")
     if which in ("phase2b", "all"):
-        exes, batch = build_phase2b_exe(on_tpu)
-        report(exes, batch, measure, "phase2b")
+        report(build_phase2b_exe(on_tpu), measure, "phase2b")
 
 
 if __name__ == "__main__":
