@@ -62,6 +62,11 @@ def main():
                         help="disable sharding the sweep over the device "
                         "mesh (single-device batches)")
     args = parser.parse_args()
+    if (args.detector or args.depth_weights) and not args.fan_weights:
+        parser.error("--detector/--depth_weights require --fan_weights "
+                     "(FAN landmarks are what consume them)")
+    if args.detector and not args.detector_weights:
+        parser.error("--detector requires --detector_weights")
     _setup_cache()
 
     import numpy as np
@@ -78,9 +83,6 @@ def main():
     if args.align_3d:
         from gan_control_tpu.alignment import make_align_fn
 
-        if (args.detector or args.depth_weights) and not args.fan_weights:
-            parser.error("--detector/--depth_weights require --fan_weights "
-                         "(FAN landmarks are what consume them)")
         fan_params = None
         detector_params = None
         depth_params = None
@@ -89,8 +91,6 @@ def main():
 
             fan_params = fan_mod.convert_torch_weights(args.fan_weights)
         if args.detector:
-            if not args.detector_weights:
-                parser.error("--detector requires --detector_weights")
             if args.detector == "sfd":
                 from gan_control_tpu.alignment import sfd as det_mod
             else:

@@ -108,3 +108,31 @@ def test_train_generator_cli(tmp_path):
     run = runs[0]
     assert (run / "args.json").exists()
     assert list((run / "checkpoint").glob("*.ckpt")), "no checkpoint written"
+
+
+def test_make_attributes_df_alignment_flag_validation():
+    """Misconfigured alignment flags fail at argparse time, BEFORE any
+    model load (a detector or depth net without FAN landmarks can never
+    run — make_align_fn would raise the same, but later and uglier)."""
+    import subprocess
+    import sys
+
+    root = Path(__file__).parent.parent
+    for extra in (["--detector", "sfd", "--detector_weights", "x.pth"],
+                  ["--depth_weights", "d.pth"]):
+        proc = subprocess.run(
+            [sys.executable, "make_attributes_df.py", "--model_dir", "/nope",
+             "--save_path", "/tmp/x.pkl", "--align_3d"] + extra,
+            cwd=root, capture_output=True, text=True, timeout=120,
+        )
+        assert proc.returncode == 2, (proc.returncode, proc.stderr[-500:])
+        assert "require --fan_weights" in proc.stderr
+    # detector without its weights
+    proc = subprocess.run(
+        [sys.executable, "make_attributes_df.py", "--model_dir", "/nope",
+         "--save_path", "/tmp/x.pkl", "--align_3d", "--fan_weights", "f.pth",
+         "--detector", "sfd"],
+        cwd=root, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "requires --detector_weights" in proc.stderr
